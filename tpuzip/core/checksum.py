@@ -1,0 +1,55 @@
+"""Vectorized checksums on device.
+
+Adler-32 as fully-parallel segmented sums (no scan): the stream is cut into
+NMAX-byte chunks; within a chunk the weighted sum uses local weights
+(bounded so the u32 partial sums cannot overflow), and the global weight is
+factored out per chunk:
+
+    sum_i (length - i) * d_i
+      = sum_c [ (length - end_c) * chunk_sum_c  +  sum_{i in c} (end_c - i) * d_i ]
+
+with every per-chunk term reduced mod 65521 before the final tree-sum.
+Validated bit-exactly against ``zlib.adler32``.  Valid for blocks up to
+~128 MB (chunk-term sum bound), far above the 100 MB BASELINE block size.
+
+Reference parity: rust-compress ``src/checksum/adler.rs`` (same NMAX idea,
+width-parallel instead of loop-carried).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MOD = 65521
+# 255 * NMAX * (NMAX+1) / 2 must fit u32  ->  NMAX = 4096 gives 2.14e9. OK.
+NMAX = 4096
+
+
+def adler32(block: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+    """Adler-32 of ``block[:length]``; block (N,) u8 zero-padded, length i32.
+    Returns scalar uint32."""
+    n = block.shape[0]
+    length = jnp.asarray(length, jnp.int32)
+    data = jnp.where(jnp.arange(n) < length, block.astype(jnp.uint32), 0)
+    num_chunks = -(-n // NMAX)
+    padded = jnp.zeros(num_chunks * NMAX, dtype=jnp.uint32).at[:n].set(data)
+    chunks = padded.reshape(num_chunks, NMAX)
+
+    chunk_sums = chunks.sum(axis=1)                        # <= 255*4096
+    # local weighted sum: weights end_c - i run NMAX..1 within the chunk
+    local_w = jnp.arange(NMAX, 0, -1, dtype=jnp.uint32)
+    local = (chunks * local_w).sum(axis=1) % MOD           # <= 2.14e9 pre-mod
+
+    ends = (jnp.arange(num_chunks, dtype=jnp.int32) + 1) * NMAX
+    head = ((length - ends) % MOD).astype(jnp.uint32)      # non-negative mod
+    terms = (head * (chunk_sums % MOD)) % MOD              # <= 65520^2 < 2^32
+
+    s1 = (1 + chunk_sums.sum()) % MOD
+    s2 = ((length % MOD).astype(jnp.uint32) + terms.sum() + local.sum()) % MOD
+    return ((s2 << 16) | s1).astype(jnp.uint32)
+
+
+def adler32_batch(blocks: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) u8 + (B,) i32 -> (B,) u32 — one checksum per block."""
+    return jax.vmap(adler32)(blocks, lengths)
