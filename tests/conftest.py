@@ -4,8 +4,10 @@ same way)."""
 
 import os
 
-# Must be set before jax is imported by any test module.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported by any test module.  The shell env
+# presets JAX_PLATFORMS=axon (the remote TPU tunnel) — tests must override
+# it unconditionally: they are CPU-hermetic and the tunnel admits one client.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuzip.codecs import lz4 as jlz4
+from tpuzip.oracle import liblz4, lz4 as olz4
+
+N = 4096  # one compiled shape for the whole module
+CAP = jlz4.encode_cap(N)
+
+
+def _pad(data: bytes, size: int) -> np.ndarray:
+    arr = np.zeros(size, np.uint8)
+    arr[: len(data)] = np.frombuffer(data, np.uint8)
+    return arr
+
+
+def _encode(s: bytes) -> bytes:
+    out, total = jlz4.encode(jnp.array(_pad(s, N)), jnp.int32(len(s)))
+    return np.asarray(out)[: int(total)].tobytes()
+
+
+def _decode(comp: bytes, n_hint: int) -> bytes:
+    arr = _pad(comp, CAP)
+    out, olen, err = jlz4.decode(jnp.array(arr), jnp.int32(len(comp)), N)
+    assert int(err) == 0, "decoder flagged error on valid stream"
+    return np.asarray(out)[: int(olen)].tobytes()
+
+
+def test_encode_decodes_with_oracle(samples):
+    for s in samples:
+        if len(s) > N:
+            continue
+        comp = _encode(s)
+        assert olz4.decompress_block(comp) == s, f"len={len(s)}"
+
+
+def test_encode_decodes_with_liblz4(samples):
+    if not liblz4.available():
+        pytest.skip("liblz4 not present")
+    for s in samples:
+        if not s or len(s) > N:
+            continue
+        comp = _encode(s)
+        assert liblz4.decompress_block(comp, len(s)) == s
+
+
+def test_decode_oracle_streams(samples):
+    for s in samples:
+        if len(s) > N:
+            continue
+        comp = olz4.compress_block(s)
+        assert _decode(comp, len(s)) == s
+
+
+def test_decode_liblz4_streams(samples):
+    if not liblz4.available():
+        pytest.skip("liblz4 not present")
+    for s in samples:
+        if not s or len(s) > N:
+            continue
+        comp = liblz4.compress_block(s)
+        assert _decode(comp, len(s)) == s
+
+
+def test_self_roundtrip(samples):
+    for s in samples:
+        if len(s) > N:
+            continue
+        assert _decode(_encode(s), len(s)) == s
+
+
+def test_ratio_tracks_oracle(samples):
+    """Dense candidate table should compress at least as well as the
+    reference's greedy single-probe policy (within a small tolerance)."""
+    for s in samples:
+        if len(s) < 64 or len(s) > N:
+            continue
+        ours = len(_encode(s))
+        ref = len(olz4.compress_block(s))
+        assert ours <= ref * 1.02 + 16, f"{ours} vs {ref} (len={len(s)})"
+
+
+def test_decode_flags_corrupt_offset():
+    # crafted stream: token promises a match at offset 0 (invalid)
+    bad = bytes([0x14]) + b"AAAA" + bytes([0x00, 0x00])
+    arr = _pad(bad, CAP)
+    _, _, err = jlz4.decode(jnp.array(arr), jnp.int32(len(bad)), N)
+    assert int(err) == 1
+
+
+def test_batch_roundtrip(rng):
+    B = 8
+    blocks = np.zeros((B, N), np.uint8)
+    lens = np.zeros(B, np.int32)
+    text = b"repetitive text block " * 200
+    for i in range(B):
+        n = int(rng.integers(0, N))
+        if i % 2:
+            blocks[i, :n] = np.frombuffer(text[:n], np.uint8)
+        else:
+            blocks[i, :n] = rng.integers(0, 256, n, dtype=np.uint8)
+        lens[i] = n
+    comp, clens = jlz4.encode_batch(jnp.array(blocks), jnp.array(lens))
+    # re-pad compressed into decoder-shaped buffers
+    carr = np.zeros((B, CAP), np.uint8)
+    carr[:, : comp.shape[1]] = np.asarray(comp)
+    out, olens, errs = jlz4.decode_batch(
+        jnp.array(carr), jnp.array(clens), N)
+    assert int(jnp.sum(errs)) == 0
+    for i in range(B):
+        assert int(olens[i]) == lens[i]
+        assert np.array_equal(np.asarray(out)[i, : lens[i]], blocks[i, : lens[i]])

@@ -1,0 +1,307 @@
+"""LZ4 block codec — TPU formulation.
+
+Format: the public LZ4 block spec, bit-compatible with tpuzip.oracle.lz4 and
+system liblz4 (reference parity: rust-compress src/lz4.rs).
+
+Decode — the reference's byte-serial token loop is restructured so the only
+sequential axis is the *sequence* loop (`lax.while_loop`); inside a sequence
+every copy is a vectorized chunk op:
+  - literals: 32-byte chunked dynamic-slice copies (over-copy is safe — the
+    next sequence's writes land exactly at the tail and overwrite it);
+  - matches: the match region is periodic with period `offset`, so byte m is
+    `out[start + (m % offset)]` — a gather from the PRE-match region for all
+    m at once.  No byte-to-byte dependency even for overlapping matches.
+
+Encode — the reference's greedy single-probe hash table becomes:
+  1. parallel hash of every 4-byte window + nearest-earlier-same-hash
+     candidate via one stable sort (denser than the reference's table, so
+     matches found are a superset — compressed size tracks or beats it);
+  2. a sequence-level greedy resolution loop (64-byte chunked match
+     extension);
+  3. fully parallel serialization: per-sequence sizes -> prefix-sum offsets
+     -> every output byte classifies itself (token / ext / literal / offset)
+     and computes its value independently.
+
+Batched variants vmap over blocks — the DP axis sharded by tpuzip.dist.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+HASH_LOG = 15
+HASH_MUL = jnp.uint32(2654435761)
+MIN_MATCH = 4
+MF_LIMIT = 12
+LAST_LITERALS = 5
+CH = 32        # decode copy chunk
+ECH = 64       # encode match-extension compare chunk
+SLACK = 64     # buffer padding so chunked ops never clamp
+
+
+def encode_cap(n: int) -> int:
+    return n + n // 255 + 16 + SLACK
+
+
+def decode_cap(n: int) -> int:
+    return n + SLACK
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int
+           ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """comp: (CAP,) u8 zero-padded (CAP >= comp_len + SLACK).
+    Returns (out (out_n + SLACK,) u8, out_len i32, err i32)."""
+    cap = comp.shape[0]
+    ocap = out_n + SLACK
+    comp_len = jnp.asarray(comp_len, jnp.int32)
+    comp32 = comp.astype(jnp.int32)
+
+    def read_ext(in_pos, base):
+        """LZ4 extension-length bytes: add 0xFF chains."""
+        def cond(st):
+            pos, acc, go = st
+            return go
+
+        def body(st):
+            pos, acc, _ = st
+            b = comp32[jnp.clip(pos, 0, cap - 1)]
+            return (pos + 1, acc + b, b == 255)
+
+        pos, acc, _ = lax.while_loop(cond, body, (in_pos, base, True))
+        return pos, acc
+
+    def seq_step(st):
+        in_pos, out_pos, out, err = st
+        token = comp32[jnp.clip(in_pos, 0, cap - 1)]
+        in_pos = in_pos + 1
+        lit_len = token >> 4
+        in_pos, lit_len = lax.cond(
+            lit_len == 15,
+            lambda: read_ext(in_pos, jnp.int32(15)),
+            lambda: (in_pos, lit_len))
+
+        # literal copy, 32B chunks (over-copy overwritten by later writes)
+        nchunks = (lit_len + CH - 1) // CH
+
+        def lit_body(k, o):
+            src = lax.dynamic_slice(comp, (jnp.clip(in_pos + k * CH, 0, cap - CH),), (CH,))
+            return lax.dynamic_update_slice(o, src, (jnp.clip(out_pos + k * CH, 0, ocap - CH),))
+
+        out = lax.fori_loop(0, nchunks, lit_body, out)
+        in_pos = in_pos + lit_len
+        out_pos = out_pos + lit_len
+
+        def do_match(in_pos, out_pos, out, err):
+            offset = comp32[jnp.clip(in_pos, 0, cap - 1)] | (
+                comp32[jnp.clip(in_pos + 1, 0, cap - 1)] << 8)
+            in_pos = in_pos + 2
+            mlen = (token & 0xF) + MIN_MATCH
+            in_pos, mlen = lax.cond(
+                (token & 0xF) == 15,
+                lambda: read_ext(in_pos, jnp.int32(MIN_MATCH + 15)),
+                lambda: (in_pos, mlen))
+            start = out_pos - offset
+            bad = (offset == 0) | (start < 0)
+            # match bytes m gather from out[start + (m % offset)] — always
+            # in the pre-match region, so all chunks are independent.
+            safe_off = jnp.maximum(offset, 1)
+            mchunks = (mlen + CH - 1) // CH
+
+            def m_body(k, o):
+                m = k * CH + jnp.arange(CH, dtype=jnp.int32)
+                idx = start + m % safe_off
+                vals = o[jnp.clip(idx, 0, ocap - 1)]
+                return lax.dynamic_update_slice(
+                    o, vals, (jnp.clip(out_pos + k * CH, 0, ocap - CH),))
+
+            out = lax.cond(bad, lambda o: o,
+                           lambda o: lax.fori_loop(0, mchunks, m_body, o), out)
+            return in_pos, out_pos + jnp.where(bad, 0, mlen), out, err | bad.astype(jnp.int32)
+
+        in_pos, out_pos, out, err = lax.cond(
+            in_pos < comp_len,
+            do_match,
+            lambda a, b, c, d: (a, b, c, d),
+            in_pos, out_pos, out, err)
+        # overrun -> flag and stop
+        err = err | (out_pos > out_n).astype(jnp.int32)
+        return in_pos, out_pos, out, err
+
+    def cond(st):
+        in_pos, out_pos, _, err = st
+        return (in_pos < comp_len) & (err == 0)
+
+    out0 = jnp.zeros(ocap, dtype=jnp.uint8)
+    _, out_len, out, err = lax.while_loop(
+        cond, seq_step, (jnp.int32(0), jnp.int32(0), out0, jnp.int32(0)))
+    return out, out_len, err
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+def _candidates(block: jnp.ndarray, length: jnp.ndarray):
+    """For every position: nearest earlier position with the same 4-byte
+    window (exact), or -1.  One stable sort, no sequential table."""
+    n = block.shape[0]
+    d = block.astype(jnp.uint32)
+    nxt = lambda k: jnp.concatenate([d[k:], jnp.zeros(k, jnp.uint32)])
+    seq = d | (nxt(1) << 8) | (nxt(2) << 16) | (nxt(3) << 24)
+    h = ((seq * HASH_MUL) >> (32 - HASH_LOG)).astype(jnp.int32)
+    order = jnp.argsort(h, stable=True)          # pos ascending within hash
+    h_sorted = h[order]
+    prev_pos = jnp.concatenate([jnp.array([-1], jnp.int32), order[:-1].astype(jnp.int32)])
+    same = jnp.concatenate([jnp.array([False]), h_sorted[1:] == h_sorted[:-1]])
+    cand_sorted = jnp.where(same, prev_pos, -1)
+    cand = jnp.zeros(n, jnp.int32).at[order].set(cand_sorted)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ok = (
+        (cand >= 0)
+        & (idx - cand <= 0xFFFF)
+        & (seq[jnp.clip(cand, 0, n - 1)] == seq)   # exact 4-byte verify
+        & (idx < length - MF_LIMIT)
+        & (cand < idx)
+    )
+    return jnp.where(ok, cand, -1)
+
+
+def encode(block: jnp.ndarray, length: jnp.ndarray,
+           cap: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """block: (N,) u8 zero-padded; returns (out (cap,) u8, out_len i32)."""
+    n = block.shape[0]
+    cap = cap or encode_cap(n)
+    length = jnp.asarray(length, jnp.int32)
+    cand = _candidates(block, length)
+    max_seqs = n // 4 + 2
+    limit = length - LAST_LITERALS  # matches may not extend past here
+
+    dpad = jnp.concatenate([block, jnp.zeros(ECH, jnp.uint8)])
+
+    def extend(i, c):
+        """total match length (>= 4): chunked first-mismatch search."""
+        def cond(st):
+            m, open_ = st
+            return open_ & (i + m < limit)
+
+        def body(st):
+            m, _ = st
+            a = lax.dynamic_slice(dpad, (jnp.clip(i + m, 0, n),), (ECH,))
+            b = lax.dynamic_slice(dpad, (jnp.clip(c + m, 0, n),), (ECH,))
+            pos = i + m + jnp.arange(ECH, dtype=jnp.int32)
+            neq = (a != b) | (pos >= limit)
+            anybad = neq.any()
+            firstbad = jnp.argmax(neq).astype(jnp.int32)
+            return m + jnp.where(anybad, firstbad, ECH), ~anybad
+
+        m, _ = lax.while_loop(cond, body, (jnp.int32(MIN_MATCH), True))
+        return jnp.minimum(m, limit - i)
+
+    def body(st):
+        i, anchor, s, lit_starts, lit_lens, offs, mlens, _ = st
+        c = cand[jnp.clip(i, 0, n - 1)]
+        has = (c >= 0) & (i < length - MF_LIMIT)
+
+        def take(st):
+            i, anchor, s, lit_starts, lit_lens, offs, mlens, _ = st
+            mlen = extend(i, c)
+            lit_starts = lit_starts.at[s].set(anchor)
+            lit_lens = lit_lens.at[s].set(i - anchor)
+            offs = offs.at[s].set(i - c)
+            mlens = mlens.at[s].set(mlen)
+            return (i + mlen, i + mlen, s + 1,
+                    lit_starts, lit_lens, offs, mlens, jnp.int32(0))
+
+        def skip(st):
+            i, anchor, s, a1, a2, a3, a4, _ = st
+            return (i + 1, anchor, s, a1, a2, a3, a4, jnp.int32(0))
+
+        return lax.cond(has, take, skip, st)
+
+    def cond(st):
+        i = st[0]
+        s = st[2]
+        return (i < length - MF_LIMIT) & (s < max_seqs - 1)
+
+    z = jnp.zeros(max_seqs, jnp.int32)
+    st = (jnp.int32(0), jnp.int32(0), jnp.int32(0), z, z, z, z, jnp.int32(0))
+    i, anchor, s, lit_starts, lit_lens, offs, mlens, _ = lax.while_loop(
+        cond, body, st)
+    # final literals-only sequence
+    lit_starts = lit_starts.at[s].set(anchor)
+    lit_lens = lit_lens.at[s].set(length - anchor)
+    offs = offs.at[s].set(0)
+    mlens = mlens.at[s].set(0)
+    num_seqs = s + 1
+
+    return _serialize(block, lit_starts, lit_lens, offs, mlens, num_seqs, cap)
+
+
+def _ext_count(l: jnp.ndarray) -> jnp.ndarray:
+    """number of 0xFF-chain extension bytes for a nibble-15 length field."""
+    return jnp.where(l < 15, 0, (l - 15) // 255 + 1)
+
+
+def _serialize(block, lit_starts, lit_lens, offsets, mlens, num_seqs, cap):
+    """Every output byte classifies itself against per-sequence field
+    boundaries and computes its value — fully parallel."""
+    n = block.shape[0]
+    max_seqs = lit_lens.shape[0]
+    sid = jnp.arange(max_seqs, dtype=jnp.int32)
+    valid = sid < num_seqs
+    has_m = mlens > 0
+    a = _ext_count(lit_lens)                       # literal ext byte count
+    ml = jnp.maximum(mlens - MIN_MATCH, 0)
+    b = jnp.where(has_m, _ext_count(ml), 0)        # match ext byte count
+    sizes = jnp.where(
+        valid, 1 + a + lit_lens + jnp.where(has_m, 2 + b, 0), 0)
+    soffs = jnp.cumsum(sizes) - sizes              # exclusive
+    total = soffs[-1] + sizes[-1]
+
+    # covering sequence per output position
+    p = jnp.arange(cap, dtype=jnp.int32)
+    starts_scatter = jnp.where(valid & (sizes > 0), soffs, cap)
+    seq_at = jnp.full(cap, -1, jnp.int32).at[starts_scatter].max(
+        sid, mode="drop")
+    cover = lax.cummax(seq_at)
+    cs = jnp.clip(cover, 0, max_seqs - 1)
+    rel = p - soffs[cs]
+
+    l_len = lit_lens[cs]
+    l_start = lit_starts[cs]
+    a_s = a[cs]
+    b_s = b[cs]
+    off_s = offsets[cs]
+    ml_s = ml[cs]
+
+    # field boundaries
+    lit0 = 1 + a_s
+    off0 = lit0 + l_len
+    ext2_0 = off0 + 2
+
+    token = (jnp.minimum(l_len, 15) << 4) | jnp.where(
+        has_m[cs], jnp.minimum(ml_s, 15), 0)
+    e1 = rel - 1
+    ext1_val = jnp.where(e1 < a_s - 1, 255, (l_len - 15) - 255 * (a_s - 1))
+    lit_val = block[jnp.clip(l_start + (rel - lit0), 0, n - 1)].astype(jnp.int32)
+    off_val = jnp.where(rel == off0, off_s & 0xFF, (off_s >> 8) & 0xFF)
+    e2 = rel - ext2_0
+    ext2_val = jnp.where(e2 < b_s - 1, 255, (ml_s - 15) - 255 * (b_s - 1))
+
+    val = jnp.where(
+        rel == 0, token,
+        jnp.where(rel < lit0, ext1_val,
+                  jnp.where(rel < off0, lit_val,
+                            jnp.where(rel < ext2_0, off_val, ext2_val))))
+    val = jnp.where((p < total) & (cover >= 0), val, 0)
+    return val.astype(jnp.uint8), total
+
+
+encode_batch = jax.vmap(encode, in_axes=(0, 0))
+decode_batch = jax.vmap(decode, in_axes=(0, 0, None))
