@@ -1,0 +1,115 @@
+"""Benchmark entry point (driver contract: print ONE JSON line).
+
+Headline: LZ4 block encode+decode throughput, batch of independent 64 KiB
+blocks on one chip (BASELINE eval config 1), vs single-thread liblz4 on the
+host CPU as the stand-in for the (unbenchmarked) Rust reference.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_corpus(nbytes: int) -> bytes:
+    """Deterministic text-like corpus (~2.5:1 LZ4-compressible)."""
+    rng = np.random.default_rng(0xBEEF)
+    words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy",
+             b"dog", b"compression", b"pipeline", b"tensor", b"block",
+             b"stream", b"entropy", b"huffman", b"suffix"]
+    out = bytearray()
+    while len(out) < nbytes:
+        w = words[int(rng.integers(len(words)))]
+        out += w + b" "
+        if rng.integers(12) == 0:
+            out += b"\n"
+    return bytes(out[:nbytes])
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuzip.codecs import lz4 as jlz4
+    from tpuzip.core import blocks as blk
+    from tpuzip.oracle import liblz4
+
+    total_mb = 10
+    block_size = 1 << 16
+    data = make_corpus(total_mb << 20)
+    blocks, lens = blk.chunk(data, block_size)
+    B = blocks.shape[0]
+    jb, jl = jnp.array(blocks), jnp.array(lens)
+
+    enc = jax.jit(jlz4.encode_batch)
+    comp, clens = enc(jb, jl)
+    jax.block_until_ready((comp, clens))  # compile + warm
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        comp, clens = enc(jb, jl)
+    jax.block_until_ready((comp, clens))
+    enc_s = (time.perf_counter() - t0) / iters
+
+    cap = jlz4.encode_cap(block_size)
+    comp_np = np.asarray(comp)
+    carr = np.zeros((B, cap), np.uint8)
+    carr[:, : comp_np.shape[1]] = comp_np
+    jc = jnp.array(carr)
+    jcl = jnp.array(np.asarray(clens))
+    dec = jax.jit(jlz4.decode_batch, static_argnums=2)
+    out, olens, errs = dec(jc, jcl, block_size)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, olens, errs = dec(jc, jcl, block_size)
+    jax.block_until_ready(out)
+    dec_s = (time.perf_counter() - t0) / iters
+
+    # correctness gate: every block must round-trip vs the real liblz4
+    assert int(np.asarray(errs).sum()) == 0
+    out_np = np.asarray(out)
+    for i in range(0, B, max(B // 8, 1)):
+        assert out_np[i, : lens[i]].tobytes() == blocks[i, : lens[i]].tobytes()
+        if liblz4.available():
+            piece = comp_np[i, : int(np.asarray(clens)[i])].tobytes()
+            assert liblz4.decompress_block(piece, int(lens[i])) == \
+                blocks[i, : lens[i]].tobytes()
+
+    nbytes = float(len(data))
+    enc_gbps = nbytes / enc_s / 1e9
+    dec_gbps = nbytes / dec_s / 1e9
+    combined = 2 * nbytes / (enc_s + dec_s) / 1e9
+
+    # CPU baseline: single-thread liblz4 (proxy for the Rust reference)
+    vs = 0.0
+    if liblz4.available():
+        t0 = time.perf_counter()
+        cc = liblz4.compress_block(data)
+        cpu_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        liblz4.decompress_block(cc, len(data))
+        cpu_dec = time.perf_counter() - t0
+        cpu_combined = 2 * nbytes / (cpu_enc + cpu_dec) / 1e9
+        vs = combined / cpu_combined
+
+    print(json.dumps({
+        "metric": "lz4_encode+decode_throughput",
+        "value": round(combined, 4),
+        "unit": "GB/s/chip",
+        "vs_baseline": round(vs, 4),
+        "detail": {
+            "encode_GBps": round(enc_gbps, 4),
+            "decode_GBps": round(dec_gbps, 4),
+            "platform": jax.devices()[0].platform,
+            "blocks": B,
+            "block_kib": block_size // 1024,
+            "ratio": round(float(np.asarray(clens).sum()) / nbytes, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

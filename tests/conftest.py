@@ -1,18 +1,25 @@
 """Test harness: force an 8-device virtual CPU mesh so all sharding logic is
 exercised without TPU hardware (the driver dry-runs the multi-chip path the
-same way)."""
+same way).
+
+IMPORTANT: this image's sitecustomize imports jax at interpreter startup
+with JAX_PLATFORMS=axon (the remote TPU tunnel, single-client).  Setting
+os.environ here is therefore too late — the override must go through
+jax.config, which still works before first backend use.
+"""
 
 import os
 
-# Must be set before jax is imported by any test module.  The shell env
-# presets JAX_PLATFORMS=axon (the remote TPU tunnel) — tests must override
-# it unconditionally: they are CPU-hermetic and the tunnel admits one client.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

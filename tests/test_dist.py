@@ -1,0 +1,91 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpuzip.dist import collectives, mesh as meshlib, runner
+from tpuzip.oracle import lz4 as olz4
+
+
+def test_mesh_shapes():
+    m = meshlib.make_mesh(8, sp=2)
+    assert m.shape == {"dp": 4, "sp": 2}
+    m1 = meshlib.make_mesh(8)
+    assert m1.shape == {"dp": 8, "sp": 1}
+
+
+def test_broadcast_from_zero():
+    mesh = meshlib.make_mesh(8)
+    x = np.arange(8 * 4, dtype=np.int32).reshape(8, 4)
+    out = collectives.broadcast_from_zero(mesh, jnp.array(x))
+    out = np.asarray(out)
+    for i in range(8):
+        assert np.array_equal(out[i], x[0])
+
+
+def test_sharded_adler32():
+    import zlib
+
+    mesh = meshlib.make_mesh(8, sp=2)
+    B, N = 8, 4096
+    rng = np.random.default_rng(1)
+    blocks = rng.integers(0, 256, (B, N), dtype=np.uint8)
+    lens = np.array([0, 1, 100, 256, 1000, 4000, 4096, 2048], np.int32)
+    got = collectives.sharded_adler32(mesh, jnp.array(blocks), jnp.array(lens))
+    for i in range(B):
+        assert int(got[i]) == zlib.adler32(blocks[i, : lens[i]].tobytes()), i
+
+
+def test_ragged_ordered_gather():
+    mesh = meshlib.make_mesh(8)
+    B, CAP = 8, 64
+    rng = np.random.default_rng(2)
+    comp = rng.integers(1, 256, (B, CAP), dtype=np.uint8)
+    lens = np.array([3, 0, 10, 64, 1, 7, 20, 5], np.int32)
+    stream, total = collectives.ragged_ordered_gather(
+        mesh, jnp.array(comp), jnp.array(lens), B * CAP)
+    expect = b"".join(comp[i, : lens[i]].tobytes() for i in range(B))
+    assert int(total) == len(expect)
+    assert np.asarray(stream)[: len(expect)].tobytes() == expect
+
+
+def test_runner_roundtrip_lz4():
+    mesh = meshlib.make_mesh(8)
+    data = (b"the corpus under test, block after block. " * 800)
+    container = runner.compress(data, codec="lz4", block_size=4096, mesh=mesh)
+    assert len(container) < len(data)
+    out = runner.decompress(container, mesh=mesh)
+    assert out == data
+
+
+def test_runner_roundtrip_rle():
+    mesh = meshlib.make_mesh(8)
+    data = b"\x00" * 10000 + b"\x07" * 5000 + bytes(range(256)) * 4
+    container = runner.compress(data, codec="rle", block_size=4096, mesh=mesh)
+    out = runner.decompress(container, mesh=mesh)
+    assert out == data
+
+
+def test_runner_empty():
+    mesh = meshlib.make_mesh(8)
+    container = runner.compress(b"", codec="lz4", block_size=4096, mesh=mesh)
+    assert runner.decompress(container, mesh=mesh) == b""
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    comp, clens = jax.jit(fn)(*args)
+    comp.block_until_ready()
+    # spot-check one block decodes
+    comp_np = np.asarray(comp)
+    blocks = np.asarray(args[0])
+    piece = comp_np[0, : int(clens[0])].tobytes()
+    assert olz4.decompress_block(piece) == blocks[0].tobytes()
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

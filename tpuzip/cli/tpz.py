@@ -1,0 +1,125 @@
+"""tpz — the framework CLI (reference parity: the demo driver src/main.rs,
+grown into a real tool).
+
+  python -m tpuzip.cli.tpz compress   [-c lz4|rle|ari] [-f tpz|lz4f|zlib] [-b BLOCK] IN OUT
+  python -m tpuzip.cli.tpz decompress [-f tpz|lz4f|zlib] IN OUT
+  python -m tpuzip.cli.tpz roundtrip  [-c CODEC] IN
+  python -m tpuzip.cli.tpz info IN
+
+Formats: 'tpz' is the sharded container (device pipeline); 'lz4f' and
+'zlib' emit interoperable standard streams (oracle paths).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _compress(args) -> int:
+    data = open(args.infile, "rb").read()
+    t0 = time.perf_counter()
+    if args.format == "tpz":
+        from tpuzip.dist import runner
+
+        out = runner.compress(data, codec=args.codec,
+                              block_size=args.block_size)
+    elif args.format == "lz4f":
+        from tpuzip.oracle import lz4
+
+        out = lz4.compress_frame(data, block_max=1 << 20)
+    elif args.format == "zlib":
+        from tpuzip.codecs import zlib_ as jzlib
+
+        out = jzlib.compress(data)
+    else:
+        raise SystemExit(f"unknown format {args.format}")
+    dt = time.perf_counter() - t0
+    open(args.outfile, "wb").write(out)
+    print(f"{len(data)} -> {len(out)} bytes "
+          f"({len(out) / max(len(data), 1):.1%}) in {dt:.2f}s "
+          f"[{len(data) / dt / 1e6:.1f} MB/s]", file=sys.stderr)
+    return 0
+
+
+def _decompress(args) -> int:
+    data = open(args.infile, "rb").read()
+    t0 = time.perf_counter()
+    if args.format == "tpz":
+        from tpuzip.dist import runner
+
+        out = runner.decompress(data)
+    elif args.format == "lz4f":
+        from tpuzip.oracle import lz4
+
+        out = lz4.decompress_frame(data)
+    elif args.format == "zlib":
+        from tpuzip.oracle import zlib_ as ozlib
+
+        out = ozlib.decompress(data)
+    else:
+        raise SystemExit(f"unknown format {args.format}")
+    dt = time.perf_counter() - t0
+    open(args.outfile, "wb").write(out)
+    print(f"{len(data)} -> {len(out)} bytes in {dt:.2f}s", file=sys.stderr)
+    return 0
+
+
+def _roundtrip(args) -> int:
+    from tpuzip.dist import runner
+
+    data = open(args.infile, "rb").read()
+    container = runner.compress(data, codec=args.codec,
+                                block_size=args.block_size)
+    out = runner.decompress(container)
+    ok = out == data
+    print(f"roundtrip {'OK' if ok else 'FAILED'}: {len(data)} -> "
+          f"{len(container)} ({len(container) / max(len(data), 1):.1%})",
+          file=sys.stderr)
+    return 0 if ok else 1
+
+
+def _info(args) -> int:
+    import struct
+
+    from tpuzip.dist.runner import CODEC_IDS, MAGIC
+
+    data = open(args.infile, "rb").read()
+    if data[:4] != MAGIC:
+        print("not a tpz container", file=sys.stderr)
+        return 1
+    codec = CODEC_IDS.get(data[4], "?")
+    block_size, nblocks, orig, a32 = struct.unpack_from("<IIQI", data, 6)
+    print(f"tpz container: codec={codec} block_size={block_size} "
+          f"blocks={nblocks} original={orig} adler32={a32:#010x}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tpz")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, out=True):
+        sp.add_argument("-c", "--codec", default="lz4",
+                        choices=["lz4", "rle", "ari"])
+        sp.add_argument("-f", "--format", default="tpz",
+                        choices=["tpz", "lz4f", "zlib"])
+        sp.add_argument("-b", "--block-size", type=int, default=1 << 16)
+        sp.add_argument("infile")
+        if out:
+            sp.add_argument("outfile")
+
+    common(sub.add_parser("compress"))
+    common(sub.add_parser("decompress"))
+    common(sub.add_parser("roundtrip"), out=False)
+    sp = sub.add_parser("info")
+    sp.add_argument("infile")
+
+    args = p.parse_args(argv)
+    return {"compress": _compress, "decompress": _decompress,
+            "roundtrip": _roundtrip, "info": _info}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

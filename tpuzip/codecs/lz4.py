@@ -56,16 +56,22 @@ def decode_cap(n: int) -> int:
 def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int
            ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """comp: (CAP,) u8 zero-padded (CAP >= comp_len + SLACK).
-    Returns (out (out_n + SLACK,) u8, out_len i32, err i32)."""
+    Returns (out (out_n + SLACK,) u8, out_len i32, err i32).
+
+    vmap-critical: NO lax.cond ever carries the output buffer (under vmap a
+    cond lowers to select, copying the whole batch buffer per iteration).
+    All conditionality is scalar state + zero-trip chunk loops.
+    """
     cap = comp.shape[0]
     ocap = out_n + SLACK
     comp_len = jnp.asarray(comp_len, jnp.int32)
     comp32 = comp.astype(jnp.int32)
 
-    def read_ext(in_pos, base):
-        """LZ4 extension-length bytes: add 0xFF chains."""
+    def read_ext_if(take, in_pos, base, nib_val):
+        """0xFF-chained extension bytes; zero iterations when ``take`` is
+        false (scalar-only loop state — cheap select under vmap)."""
         def cond(st):
-            pos, acc, go = st
+            _, _, go = st
             return go
 
         def body(st):
@@ -73,68 +79,63 @@ def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int
             b = comp32[jnp.clip(pos, 0, cap - 1)]
             return (pos + 1, acc + b, b == 255)
 
-        pos, acc, _ = lax.while_loop(cond, body, (in_pos, base, True))
-        return pos, acc
+        pos, acc, _ = lax.while_loop(cond, body, (in_pos, base, take))
+        return pos, jnp.where(take, acc, nib_val)
 
     def seq_step(st):
         in_pos, out_pos, out, err = st
         token = comp32[jnp.clip(in_pos, 0, cap - 1)]
         in_pos = in_pos + 1
-        lit_len = token >> 4
-        in_pos, lit_len = lax.cond(
-            lit_len == 15,
-            lambda: read_ext(in_pos, jnp.int32(15)),
-            lambda: (in_pos, lit_len))
+        nib = token >> 4
+        in_pos, lit_len = read_ext_if(nib == 15, in_pos, jnp.int32(15), nib)
 
         # literal copy, 32B chunks (over-copy overwritten by later writes)
         nchunks = (lit_len + CH - 1) // CH
 
         def lit_body(k, o):
-            src = lax.dynamic_slice(comp, (jnp.clip(in_pos + k * CH, 0, cap - CH),), (CH,))
-            return lax.dynamic_update_slice(o, src, (jnp.clip(out_pos + k * CH, 0, ocap - CH),))
+            src = lax.dynamic_slice(
+                comp, (jnp.clip(in_pos + k * CH, 0, cap - CH),), (CH,))
+            return lax.dynamic_update_slice(
+                o, src, (jnp.clip(out_pos + k * CH, 0, ocap - CH),))
 
-        out = lax.fori_loop(0, nchunks, lit_body, out)
+        out = lax.fori_loop(0, nchunks, lit_body, out, unroll=False)
         in_pos = in_pos + lit_len
         out_pos = out_pos + lit_len
 
-        def do_match(in_pos, out_pos, out, err):
-            offset = comp32[jnp.clip(in_pos, 0, cap - 1)] | (
-                comp32[jnp.clip(in_pos + 1, 0, cap - 1)] << 8)
-            in_pos = in_pos + 2
-            mlen = (token & 0xF) + MIN_MATCH
-            in_pos, mlen = lax.cond(
-                (token & 0xF) == 15,
-                lambda: read_ext(in_pos, jnp.int32(MIN_MATCH + 15)),
-                lambda: (in_pos, mlen))
-            start = out_pos - offset
-            bad = (offset == 0) | (start < 0)
-            # match bytes m gather from out[start + (m % offset)] — always
-            # in the pre-match region, so all chunks are independent.
-            safe_off = jnp.maximum(offset, 1)
-            mchunks = (mlen + CH - 1) // CH
+        # match section (masked out entirely on the final literal-only seq)
+        active = in_pos < comp_len
+        offset = jnp.where(
+            active,
+            comp32[jnp.clip(in_pos, 0, cap - 1)]
+            | (comp32[jnp.clip(in_pos + 1, 0, cap - 1)] << 8), 1)
+        in_pos = in_pos + jnp.where(active, 2, 0)
+        mnib = token & 0xF
+        in_pos, mlen = read_ext_if(active & (mnib == 15), in_pos,
+                                   jnp.int32(MIN_MATCH + 15),
+                                   mnib + MIN_MATCH)
+        start = out_pos - offset
+        bad = active & ((offset == 0) | (start < 0))
+        do = active & ~bad
+        mlen = jnp.where(do, mlen, 0)
+        safe_off = jnp.maximum(offset, 1)
+        # match bytes m gather from out[start + (m % offset)] — always in
+        # the pre-match region, so all chunks are independent.
+        mchunks = (mlen + CH - 1) // CH    # 0 when masked -> loop skipped
 
-            def m_body(k, o):
-                m = k * CH + jnp.arange(CH, dtype=jnp.int32)
-                idx = start + m % safe_off
-                vals = o[jnp.clip(idx, 0, ocap - 1)]
-                return lax.dynamic_update_slice(
-                    o, vals, (jnp.clip(out_pos + k * CH, 0, ocap - CH),))
+        def m_body(k, o):
+            m = k * CH + jnp.arange(CH, dtype=jnp.int32)
+            idx = start + m % safe_off
+            vals = o[jnp.clip(idx, 0, ocap - 1)]
+            return lax.dynamic_update_slice(
+                o, vals, (jnp.clip(out_pos + k * CH, 0, ocap - CH),))
 
-            out = lax.cond(bad, lambda o: o,
-                           lambda o: lax.fori_loop(0, mchunks, m_body, o), out)
-            return in_pos, out_pos + jnp.where(bad, 0, mlen), out, err | bad.astype(jnp.int32)
-
-        in_pos, out_pos, out, err = lax.cond(
-            in_pos < comp_len,
-            do_match,
-            lambda a, b, c, d: (a, b, c, d),
-            in_pos, out_pos, out, err)
-        # overrun -> flag and stop
-        err = err | (out_pos > out_n).astype(jnp.int32)
+        out = lax.fori_loop(0, mchunks, m_body, out, unroll=False)
+        out_pos = out_pos + mlen
+        err = err | bad.astype(jnp.int32) | (out_pos > out_n).astype(jnp.int32)
         return in_pos, out_pos, out, err
 
     def cond(st):
-        in_pos, out_pos, _, err = st
+        in_pos, _, _, err = st
         return (in_pos < comp_len) & (err == 0)
 
     out0 = jnp.zeros(ocap, dtype=jnp.uint8)
@@ -182,10 +183,18 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
     max_seqs = n // 4 + 2
     limit = length - LAST_LITERALS  # matches may not extend past here
 
+    # literal skip-ahead: next position at/after i with a match candidate
+    # (suffix-min), so the greedy loop never steps byte-by-byte through
+    # literal runs — iterations ~ #sequences, not #positions.
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    match_pos = jnp.where(cand >= 0, idxs, n)
+    nxt_match = lax.associative_scan(jnp.minimum, match_pos, reverse=True)
+
     dpad = jnp.concatenate([block, jnp.zeros(ECH, jnp.uint8)])
 
-    def extend(i, c):
-        """total match length (>= 4): chunked first-mismatch search."""
+    def extend(i, c, go):
+        """total match length (>= 4): chunked first-mismatch search.
+        ``go`` false -> zero iterations (lane masked, scalar state only)."""
         def cond(st):
             m, open_ = st
             return open_ & (i + m < limit)
@@ -200,38 +209,36 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
             firstbad = jnp.argmax(neq).astype(jnp.int32)
             return m + jnp.where(anybad, firstbad, ECH), ~anybad
 
-        m, _ = lax.while_loop(cond, body, (jnp.int32(MIN_MATCH), True))
-        return jnp.minimum(m, limit - i)
+        m, _ = lax.while_loop(cond, body, (jnp.int32(MIN_MATCH), go))
+        return jnp.clip(m, 0, jnp.maximum(limit - i, 0))
 
+    # vmap-critical: no cond carries the record arrays; masked lanes write
+    # garbage into slot s, which the next live write (or the final literal
+    # sequence) overwrites, because s only advances on a real match.
     def body(st):
-        i, anchor, s, lit_starts, lit_lens, offs, mlens, _ = st
+        i, anchor, s, lit_starts, lit_lens, offs, mlens = st
         c = cand[jnp.clip(i, 0, n - 1)]
         has = (c >= 0) & (i < length - MF_LIMIT)
-
-        def take(st):
-            i, anchor, s, lit_starts, lit_lens, offs, mlens, _ = st
-            mlen = extend(i, c)
-            lit_starts = lit_starts.at[s].set(anchor)
-            lit_lens = lit_lens.at[s].set(i - anchor)
-            offs = offs.at[s].set(i - c)
-            mlens = mlens.at[s].set(mlen)
-            return (i + mlen, i + mlen, s + 1,
-                    lit_starts, lit_lens, offs, mlens, jnp.int32(0))
-
-        def skip(st):
-            i, anchor, s, a1, a2, a3, a4, _ = st
-            return (i + 1, anchor, s, a1, a2, a3, a4, jnp.int32(0))
-
-        return lax.cond(has, take, skip, st)
+        mlen = extend(i, jnp.maximum(c, 0), has)
+        lit_starts = lit_starts.at[s].set(anchor)
+        lit_lens = lit_lens.at[s].set(i - anchor)
+        offs = offs.at[s].set(i - c)
+        mlens = mlens.at[s].set(mlen)
+        s = s + has.astype(jnp.int32)
+        # advance: past the match, or jump to the next candidate position
+        jump = nxt_match[jnp.clip(i + 1, 0, n - 1)]
+        jump = jnp.where(i + 1 >= n, n, jump)
+        i_next = jnp.where(has, i + mlen, jnp.maximum(jump, i + 1))
+        anchor = jnp.where(has, i + mlen, anchor)
+        return (i_next, anchor, s, lit_starts, lit_lens, offs, mlens)
 
     def cond(st):
-        i = st[0]
-        s = st[2]
+        i, s = st[0], st[2]
         return (i < length - MF_LIMIT) & (s < max_seqs - 1)
 
     z = jnp.zeros(max_seqs, jnp.int32)
-    st = (jnp.int32(0), jnp.int32(0), jnp.int32(0), z, z, z, z, jnp.int32(0))
-    i, anchor, s, lit_starts, lit_lens, offs, mlens, _ = lax.while_loop(
+    st = (jnp.int32(0), jnp.int32(0), jnp.int32(0), z, z, z, z)
+    i, anchor, s, lit_starts, lit_lens, offs, mlens = lax.while_loop(
         cond, body, st)
     # final literals-only sequence
     lit_starts = lit_starts.at[s].set(anchor)

@@ -1,0 +1,157 @@
+"""ctypes bindings to the C++ host runtime (csrc/libtpuzip_host.so).
+
+Auto-builds on first use if a toolchain is available; every entry point has
+a pure-Python fallback (tpuzip.oracle), so the framework works without it —
+the native path is the fast host-side lane for container assembly and the
+CPU bench baseline.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libtpuzip_host.so"))
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_CSRC)], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64, u32, u8p, i32p = (ctypes.c_int64, ctypes.c_uint32,
+                           ctypes.POINTER(ctypes.c_uint8),
+                           ctypes.POINTER(ctypes.c_int32))
+    lib.tpz_adler32.restype = u32
+    lib.tpz_adler32.argtypes = [u8p, i64, u32]
+    lib.tpz_xxh32.restype = u32
+    lib.tpz_xxh32.argtypes = [u8p, i64, u32]
+    for name in ("tpz_lz4_compress", "tpz_lz4_decompress",
+                 "tpz_rle_encode", "tpz_rle_decode"):
+        fn = getattr(lib, name)
+        fn.restype = i64
+        fn.argtypes = [u8p, i64, u8p, i64]
+    lib.tpz_ari_encode.restype = i64
+    lib.tpz_ari_encode.argtypes = [u8p, i64, u8p, i64, u32, u32]
+    lib.tpz_ari_decode.restype = i64
+    lib.tpz_ari_decode.argtypes = [u8p, i64, u8p, i64, u32, u32]
+    lib.tpz_pack_payloads.restype = i64
+    lib.tpz_pack_payloads.argtypes = [u8p, i64, i64, i32p, u8p, i64]
+    lib.tpz_unpack_payloads.restype = i64
+    lib.tpz_unpack_payloads.argtypes = [u8p, i64, i32p, i64, u8p, i64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _u8(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def adler32(data: bytes, start: int = 1) -> int:
+    lib = get_lib()
+    arr = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    return int(lib.tpz_adler32(_u8(arr), len(data), start))
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    lib = get_lib()
+    arr = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    return int(lib.tpz_xxh32(_u8(arr), len(data), seed))
+
+
+def _run2(name: str, data: bytes, cap: int, *extra) -> bytes:
+    lib = get_lib()
+    src = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    dst = np.zeros(cap, np.uint8)
+    n = getattr(lib, name)(_u8(src), len(data), _u8(dst), cap, *extra)
+    if n < 0:
+        raise ValueError(f"{name} failed")
+    return dst[:n].tobytes()
+
+
+def lz4_compress(data: bytes) -> bytes:
+    return _run2("tpz_lz4_compress", data, len(data) + len(data) // 255 + 64)
+
+
+def lz4_decompress(data: bytes, out_cap: int) -> bytes:
+    return _run2("tpz_lz4_decompress", data, out_cap)
+
+
+def rle_encode(data: bytes) -> bytes:
+    return _run2("tpz_rle_encode", data, 2 * len(data) + 16)
+
+
+def rle_decode(data: bytes, out_cap: int) -> bytes:
+    return _run2("tpz_rle_decode", data, out_cap)
+
+
+def ari_encode(data: bytes, increment: int = 8,
+               threshold: int = 1 << 13) -> bytes:
+    return _run2("tpz_ari_encode", data, 2 * len(data) + 64,
+                 increment, threshold)
+
+
+def ari_decode(data: bytes, num_syms: int, increment: int = 8,
+               threshold: int = 1 << 13) -> bytes:
+    lib = get_lib()
+    src = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    dst = np.zeros(max(num_syms, 1), np.uint8)
+    n = lib.tpz_ari_decode(_u8(src), len(data), _u8(dst), num_syms,
+                           increment, threshold)
+    if n < 0:
+        raise ValueError("ari decode failed")
+    return dst[:num_syms].tobytes()
+
+
+def pack_payloads(comp: np.ndarray, lens: np.ndarray) -> bytes:
+    lib = get_lib()
+    comp = np.ascontiguousarray(comp, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    cap = int(lens.astype(np.int64).sum())
+    dst = np.zeros(max(cap, 1), np.uint8)
+    n = lib.tpz_pack_payloads(_u8(comp), comp.shape[0], comp.shape[1],
+                              _i32(lens), _u8(dst), cap)
+    if n < 0:
+        raise ValueError("pack_payloads overflow")
+    return dst[:n].tobytes()
+
+
+def unpack_payloads(stream: bytes, lens: np.ndarray, cap: int) -> np.ndarray:
+    lib = get_lib()
+    lens = np.ascontiguousarray(lens, np.int32)
+    b = lens.shape[0]
+    src = np.frombuffer(stream, np.uint8) if stream else np.zeros(1, np.uint8)
+    comp = np.zeros((b, cap), np.uint8)
+    n = lib.tpz_unpack_payloads(_u8(src), len(stream), _i32(lens), b,
+                                _u8(comp), cap)
+    if n < 0:
+        raise ValueError("unpack_payloads failed")
+    return comp
