@@ -42,15 +42,17 @@ def main() -> None:
     B = blocks.shape[0]
     jb, jl = jnp.array(blocks), jnp.array(lens)
 
+    # NB: on the axon remote platform block_until_ready does not reliably
+    # block; a scalar-reduction fetch is the only honest sync.
     enc = jax.jit(jlz4.encode_batch)
+    enc_sync = jax.jit(lambda b, l: jnp.sum(jlz4.encode_batch(b, l)[1]))
     comp, clens = enc(jb, jl)
-    jax.block_until_ready((comp, clens))  # compile + warm
+    int(enc_sync(jb, jl))  # compile + warm
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        comp, clens = enc(jb, jl)
-    jax.block_until_ready((comp, clens))
+        int(enc_sync(jb, jl))
     enc_s = (time.perf_counter() - t0) / iters
 
     cap = jlz4.encode_cap(block_size)
@@ -60,12 +62,13 @@ def main() -> None:
     jc = jnp.array(carr)
     jcl = jnp.array(np.asarray(clens))
     dec = jax.jit(jlz4.decode_batch, static_argnums=2)
+    dec_sync = jax.jit(
+        lambda c, l: jnp.sum(jlz4.decode_batch(c, l, block_size)[1]))
     out, olens, errs = dec(jc, jcl, block_size)
-    jax.block_until_ready(out)
+    int(dec_sync(jc, jcl))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, olens, errs = dec(jc, jcl, block_size)
-    jax.block_until_ready(out)
+        int(dec_sync(jc, jcl))
     dec_s = (time.perf_counter() - t0) / iters
 
     # correctness gate: every block must round-trip vs the real liblz4

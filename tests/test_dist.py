@@ -89,3 +89,19 @@ def test_graft_entry_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_runner_roundtrip_ari():
+    mesh = meshlib.make_mesh(8)
+    data = (b"entropy coded corpus " * 300)
+    container = runner.compress(data, codec="ari", block_size=2048, mesh=mesh)
+    assert len(container) < len(data)
+    assert runner.decompress(container, mesh=mesh) == data
+
+
+def test_runner_roundtrip_bwt_pipeline():
+    mesh = meshlib.make_mesh(8)
+    data = (b"abracadabra banana mississippi compression " * 200)
+    container = runner.compress(data, codec="bwt", block_size=2048, mesh=mesh)
+    assert len(container) < len(data) // 2   # BWT stack compresses well here
+    assert runner.decompress(container, mesh=mesh) == data

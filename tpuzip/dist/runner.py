@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from tpuzip.codecs import ari as jari, lz4 as jlz4, rle as jrle
+from tpuzip.codecs import (ari as jari, bwt as jbwt, lz4 as jlz4,
+                           mtf as jmtf, rle as jrle)
 from tpuzip.core import blocks as blk
 from tpuzip.core.checksum import adler32_batch
 from tpuzip.dist import mesh as meshlib
@@ -43,13 +44,43 @@ def corpus_adler32(data: bytes) -> int:
     import zlib
 
     return zlib.adler32(data)
-CODECS = {"lz4": 1, "rle": 2, "ari": 3}
+CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4}
 CODEC_IDS = {v: k for k, v in CODECS.items()}
+
+def _bwt_pipeline_encode(block, length):
+    """Config-4 composite: BWT -> MTF -> adaptive ari, all on device.
+    Payload layout: [origin u32 LE][ari stream]."""
+    n = block.shape[0]
+    L, origin = jbwt.encode_block(block, length)
+    m = jmtf.encode(L, length)
+    comp, clen = jari.encode(m, length, cap=jari.encode_cap(n) - 4)
+    origin_bytes = jnp.stack(
+        [(origin >> (8 * k)) & 0xFF for k in range(4)]).astype(jnp.uint8)
+    out = jnp.concatenate([origin_bytes, comp])
+    return out, clen + 4
+
+
+def _bwt_pipeline_decode(comp, comp_len, out_n):
+    origin = (comp[0].astype(jnp.int32) | (comp[1].astype(jnp.int32) << 8)
+              | (comp[2].astype(jnp.int32) << 16)
+              | (comp[3].astype(jnp.int32) << 24))
+    # the decoded symbol count equals the original block length, carried by
+    # the container; comp_len here is (comp_len, orig_len) packed by caller
+    orig_len = comp_len[1]
+    m = jari.decode(comp[4:], orig_len, out_n)
+    L = jmtf.decode(m, orig_len)
+    out = jbwt.decode_block(L, origin, orig_len)
+    return out, orig_len
+
+
+_bwt_encode_batch = jax.vmap(_bwt_pipeline_encode, in_axes=(0, 0))
+_bwt_decode_batch = jax.vmap(_bwt_pipeline_decode, in_axes=(0, 0, None))
 
 _ENCODERS = {
     "lz4": (jlz4.encode_batch, jlz4.encode_cap),
     "rle": (jrle.encode_batch, jrle.encode_cap),
     "ari": (jari.encode_batch, jari.encode_cap),
+    "bwt": (_bwt_encode_batch, jari.encode_cap),
 }
 
 
@@ -60,8 +91,6 @@ def _decode_batch(codec: str, comp, lens, out_n):
     if codec == "rle":
         out, olens = jrle.decode_batch(comp, lens, out_n)
         return out, olens, jnp.zeros_like(olens)
-    if codec == "ari":
-        raise ValueError("ari decode needs original lengths; use container")
     raise ValueError(codec)
 
 
@@ -112,7 +141,7 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         rem -= olens[i]
 
     mesh = mesh or meshlib.make_mesh()
-    if codec == "ari":
+    if codec in ("ari", "bwt"):
         cap = jari.encode_cap(block_size)
     elif codec == "rle":
         cap = jrle.encode_cap(block_size)
@@ -133,6 +162,15 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         out = jax.jit(jari.decode_batch, static_argnums=2)(
             jc, jax.device_put(jnp.array(olens.astype(np.int32)), lsharding),
             block_size)
+        out_np = np.asarray(out)
+        errs = np.zeros(B)
+    elif codec == "bwt":
+        pair = np.stack([clens.astype(np.int32), olens.astype(np.int32)],
+                        axis=1)
+        jp = jax.device_put(jnp.array(pair),
+                            meshlib.block_sharding(mesh))
+        out, _ = jax.jit(_bwt_decode_batch, static_argnums=2)(
+            jc, jp, block_size)
         out_np = np.asarray(out)
         errs = np.zeros(B)
     else:
