@@ -29,6 +29,12 @@ def make_corpus(nbytes: int) -> bytes:
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: remote compiles of the big batch graphs take
+    # minutes; cache hits make repeat bench runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from tpuzip.codecs import lz4 as jlz4

@@ -105,3 +105,14 @@ def test_runner_roundtrip_bwt_pipeline():
     container = runner.compress(data, codec="bwt", block_size=2048, mesh=mesh)
     assert len(container) < len(data) // 2   # BWT stack compresses well here
     assert runner.decompress(container, mesh=mesh) == data
+
+
+def test_runner_roundtrip_deflate():
+    import zlib
+
+    mesh = meshlib.make_mesh(8)
+    data = (b"deflate over the sharded pipeline, block by block. " * 400)
+    container = runner.compress(data, codec="deflate", block_size=4096,
+                                mesh=mesh)
+    assert len(container) < len(data) // 2
+    assert runner.decompress(container, mesh=mesh) == data

@@ -22,6 +22,8 @@ Encode (new work — upstream has no deflate encoder)
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -252,12 +254,40 @@ def lz77_stage(block: jnp.ndarray, length: jnp.ndarray):
     cand = _candidates3(block, length)
     dpad = jnp.concatenate([block, jnp.zeros(64, jnp.uint8)])
 
-    def extend(i, c):
-        def cond(st):
+    max_seqs = n // MIN_MATCH + 2
+    z = jnp.zeros(max_seqs, jnp.int32)
+
+    # literal skip-ahead (suffix-min of candidate positions) + masked-write
+    # greedy loop: no lax.cond may carry the record arrays (vmap would turn
+    # it into a full-array select per iteration).
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    match_at = jnp.where(cand >= 0, idxs, n)
+    nxt_match = lax.associative_scan(jnp.minimum, match_at, reverse=True)
+
+    def body(st):
+        i, s, heads, mls, dss = st
+        c = cand[jnp.clip(i, 0, n - 1)]
+        has = c >= 0
+        ml = extend_masked(i, jnp.maximum(c, 0), has)
+        heads = heads.at[s].set(i)          # dead write when ~has: slot is
+        mls = mls.at[s].set(ml)             # reused by the next live match
+        dss = dss.at[s].set(i - c)
+        s = s + has.astype(jnp.int32)
+        jump = nxt_match[jnp.clip(i + 1, 0, n - 1)]
+        jump = jnp.where(i + 1 >= n, n, jump)
+        i = jnp.where(has, i + ml, jnp.maximum(jump, i + 1))
+        return (i, s, heads, mls, dss)
+
+    def cond(st):
+        i, s = st[0], st[1]
+        return (i + MIN_MATCH <= length) & (s < max_seqs)
+
+    def extend_masked(i, c, go):
+        def cond_(st):
             m, open_ = st
             return open_ & (m < MAX_MATCH)
 
-        def body(st):
+        def body_(st):
             m, _ = st
             a = lax.dynamic_slice(dpad, (jnp.clip(i + m, 0, n),), (64,))
             b = lax.dynamic_slice(dpad, (jnp.clip(c + m, 0, n),), (64,))
@@ -267,37 +297,12 @@ def lz77_stage(block: jnp.ndarray, length: jnp.ndarray):
             first = jnp.argmax(neq).astype(jnp.int32)
             return m + jnp.where(anybad, first, 64), ~anybad
 
-        m, _ = lax.while_loop(cond, body, (jnp.int32(MIN_MATCH), True))
-        return jnp.minimum(m, jnp.minimum(MAX_MATCH, length - i))
+        m, _ = lax.while_loop(cond_, body_, (jnp.int32(MIN_MATCH), go))
+        return jnp.clip(m, 0, jnp.maximum(
+            jnp.minimum(MAX_MATCH, length - i), 0))
 
-    max_seqs = n // MIN_MATCH + 2
-    z = jnp.zeros(max_seqs, jnp.int32)
-
-    def body(st):
-        i, s, heads, mls, dss, _ = st
-        c = cand[jnp.clip(i, 0, n - 1)]
-        has = c >= 0
-
-        def take(st):
-            i, s, heads, mls, dss, _ = st
-            ml = extend(i, c)
-            heads = heads.at[s].set(i)
-            mls = mls.at[s].set(ml)
-            dss = dss.at[s].set(i - c)
-            return i + ml, s + 1, heads, mls, dss, jnp.int32(0)
-
-        def skip(st):
-            i, s, a, b_, c_, _ = st
-            return i + 1, s, a, b_, c_, jnp.int32(0)
-
-        return lax.cond(has, take, skip, st)
-
-    def cond(st):
-        i, s = st[0], st[1]
-        return (i + MIN_MATCH <= length) & (s < max_seqs)
-
-    i, s, heads, mls, dss, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), z, z, z, jnp.int32(0)))
+    i, s, heads, mls, dss = lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), z, z, z))
     num = s
 
     # fill per-position arrays from the sequence records
@@ -498,3 +503,88 @@ def deflate(data: bytes, n_static: int | None = None) -> bytes:
         jnp.array(hdr_v), jnp.array(hdr_b), cap_bits)
     nbytes = (int(total_bits) + 7) // 8
     return np.asarray(out_bytes)[:nbytes].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Batched deflate: vmapped device stages around the host table loop
+# ---------------------------------------------------------------------------
+
+_lz77_stage_vmap = jax.jit(jax.vmap(lz77_stage))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_pack_vmap(cap_bits: int):
+    return jax.jit(jax.vmap(functools.partial(pack_stage, cap_bits=cap_bits)))
+
+
+def deflate_batch(blocks, lengths):
+    """(B, N) u8 + (B,) i32 -> (comp (B, CAP) u8, comp_lens (B,) i32).
+
+    Stage 1 (device, vmapped): parallel LZ77 parse + histograms for every
+    block at once.  Stage 2 (host, per block): package-merge Huffman + header
+    fields — a few hundred ints each.  Stage 3 (device, vmapped): full-block
+    parallel bit-pack.  Each row is an independent, stock-zlib-decodable
+    deflate stream."""
+    b, n = blocks.shape
+    is_head, is_lit, mlen, dist, lit_hist, dist_hist = _lz77_stage_vmap(
+        blocks, lengths)
+    lit_hist_np = np.asarray(lit_hist)
+    dist_hist_np = np.asarray(dist_hist)
+
+    lit_bits_np = np.zeros((b, 286), np.int32)
+    dist_bits_np = np.zeros((b, 30), np.int32)
+    lit_codes_np = np.zeros((b, 286), np.uint32)
+    dist_codes_np = np.zeros((b, 30), np.uint32)
+    hdr_v = np.zeros((b, HDR_FIELDS), np.uint32)
+    hdr_b = np.zeros((b, HDR_FIELDS), np.int32)
+    for i in range(b):
+        lit_freq = {s: int(f) for s, f in enumerate(lit_hist_np[i]) if f}
+        dist_freq = {s: int(f) for s, f in enumerate(dist_hist_np[i]) if f}
+        lit_lengths = [0] * 286
+        lm = od.package_merge(lit_freq, od.MAX_BITS)
+        for s, l in lm.items():
+            lit_lengths[s] = l
+        if len(lm) == 1:
+            only = next(iter(lm))
+            lit_lengths[only] = 1
+            lit_lengths[0 if only != 0 else 1] = 1
+        dist_lengths = [0] * 30
+        if not dist_freq:
+            dist_lengths[0] = 1
+        elif len(dist_freq) == 1:
+            dist_lengths[next(iter(dist_freq))] = 1
+        else:
+            for s, l in od.package_merge(dist_freq, od.MAX_BITS).items():
+                dist_lengths[s] = l
+        lit_bits_np[i] = lit_lengths
+        dist_bits_np[i] = dist_lengths
+        lit_codes_np[i] = od.canonical_codes(lit_lengths)
+        dist_codes_np[i] = od.canonical_codes(dist_lengths)
+        hdr_v[i], hdr_b[i] = _header_fields(lit_lengths, dist_lengths)
+
+    lit_b_j = jnp.array(lit_bits_np)
+    dist_b_j = jnp.array(dist_bits_np)
+    lit_c_j = bit_reverse(jnp.array(lit_codes_np), lit_b_j, od.MAX_BITS)
+    dist_c_j = bit_reverse(jnp.array(dist_codes_np), dist_b_j, od.MAX_BITS)
+    cap_bits = ((16 * n + 16384) // 8) * 8
+    out_bytes, total_bits = _get_pack_vmap(cap_bits)(
+        blocks, is_head, is_lit, mlen, dist, lit_c_j, lit_b_j, dist_c_j,
+        dist_b_j, jnp.array(hdr_v), jnp.array(hdr_b))
+    comp_lens = (total_bits + 7) // 8
+    return out_bytes, comp_lens.astype(jnp.int32)
+
+
+def inflate_batch(comp_rows, comp_lens, out_n: int):
+    """Inverse of deflate_batch: host header parse + device symbol loops,
+    one block at a time (tables differ per block)."""
+    b = comp_rows.shape[0]
+    outs = np.zeros((b, out_n), np.uint8)
+    lens = np.zeros(b, np.int32)
+    rows = np.asarray(comp_rows)
+    cl = np.asarray(comp_lens)
+    for i in range(b):
+        data = rows[i, : int(cl[i])].tobytes()
+        out = inflate(data, out_n)
+        outs[i, : len(out)] = np.frombuffer(out, np.uint8)
+        lens[i] = len(out)
+    return outs, lens

@@ -44,7 +44,7 @@ def corpus_adler32(data: bytes) -> int:
     import zlib
 
     return zlib.adler32(data)
-CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4}
+CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4, "deflate": 5}
 CODEC_IDS = {v: k for k, v in CODECS.items()}
 
 def _bwt_pipeline_encode(block, length):
@@ -76,11 +76,22 @@ def _bwt_pipeline_decode(comp, comp_len, out_n):
 _bwt_encode_batch = jax.vmap(_bwt_pipeline_encode, in_axes=(0, 0))
 _bwt_decode_batch = jax.vmap(_bwt_pipeline_decode, in_axes=(0, 0, None))
 
+def _deflate_cap(n):
+    return 2 * n + 2048
+
+
+def _deflate_encode_batch(blocks, lengths):
+    from tpuzip.codecs import deflate as jdef
+
+    return jdef.deflate_batch(blocks, lengths)
+
+
 _ENCODERS = {
     "lz4": (jlz4.encode_batch, jlz4.encode_cap),
     "rle": (jrle.encode_batch, jrle.encode_cap),
     "ari": (jari.encode_batch, jari.encode_cap),
     "bwt": (_bwt_encode_batch, jari.encode_cap),
+    "deflate": (_deflate_encode_batch, _deflate_cap),
 }
 
 
@@ -107,7 +118,11 @@ def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
     lsharding = meshlib.length_sharding(mesh)
     jb = jax.device_put(jnp.array(blocks), sharding)
     jl = jax.device_put(jnp.array(lengths), lsharding)
-    comp, clens = jax.jit(enc)(jb, jl)
+    if codec == "deflate":
+        # host Huffman stage inside: stages jit themselves, not the whole
+        comp, clens = enc(jb, jl)
+    else:
+        comp, clens = jax.jit(enc)(jb, jl)
     comp_np = np.asarray(comp)
     clens_np = np.asarray(clens).astype(np.int64)
     a32 = corpus_adler32(data)
@@ -143,6 +158,8 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     mesh = mesh or meshlib.make_mesh()
     if codec in ("ari", "bwt"):
         cap = jari.encode_cap(block_size)
+    elif codec == "deflate":
+        cap = _deflate_cap(block_size)
     elif codec == "rle":
         cap = jrle.encode_cap(block_size)
     else:
@@ -164,6 +181,15 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
             block_size)
         out_np = np.asarray(out)
         errs = np.zeros(B)
+    elif codec == "deflate":
+        from tpuzip.codecs import deflate as jdef
+
+        out_np, got = jdef.inflate_batch(jc, jl, block_size)
+        errs = np.zeros(B)
+        bad = (got[:B].astype(np.int64) != olens) & (clens > 0)
+        if bad.any():
+            raise ValueError(
+                f"deflate length mismatch at {np.nonzero(bad)[0][:8]}")
     elif codec == "bwt":
         pair = np.stack([clens.astype(np.int32), olens.astype(np.int32)],
                         axis=1)
