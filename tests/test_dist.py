@@ -116,3 +116,29 @@ def test_runner_roundtrip_deflate():
                                 mesh=mesh)
     assert len(container) < len(data) // 2
     assert runner.decompress(container, mesh=mesh) == data
+
+
+def test_multihost_single_process_paths():
+    """Multi-host module degenerate (1-process) paths + container equality."""
+    from tpuzip.dist import multihost
+
+    multihost.initialize()  # no-op
+    lo, hi = multihost.host_block_range(10)
+    assert (lo, hi) == (0, 10)
+    payload, sizes = multihost.gather_ragged_payloads(
+        b"abc", np.array([1, 2], np.int64))
+    assert payload == b"abc" and list(sizes) == [1, 2]
+    data = b"multihost corpus " * 500
+    container = multihost.compress_corpus_multihost(data, block_size=4096)
+    assert runner.decompress(container) == data
+
+
+def test_lz4_frame_device_backed(samples):
+    from tpuzip.codecs import lz4_frame
+    from tpuzip.oracle import lz4 as olz4
+
+    for s in samples:
+        if not (0 < len(s) <= 65536):
+            continue
+        fr = lz4_frame.compress_frame(s)
+        assert olz4.decompress_frame(fr) == s

@@ -26,9 +26,9 @@ def _compress(args) -> int:
         out = runner.compress(data, codec=args.codec,
                               block_size=args.block_size)
     elif args.format == "lz4f":
-        from tpuzip.oracle import lz4
+        from tpuzip.codecs import lz4_frame
 
-        out = lz4.compress_frame(data, block_max=1 << 20)
+        out = lz4_frame.compress_frame(data, block_max=1 << 16)
     elif args.format == "zlib":
         from tpuzip.codecs import zlib_ as jzlib
 
