@@ -31,3 +31,26 @@ def test_job_fresh_run_matches_runner(tmp_path):
     container = checkpoint.run_job(data, str(tmp_path / "j2"), codec="lz4",
                                    block_size=4096, mesh=mesh)
     assert runner.decompress(container, mesh=mesh) == data
+
+
+def test_error_taxonomy(tmp_path):
+    import numpy as np
+
+    from tpuzip.runtime.errors import (BlockLengthError, ChecksumError,
+                                       HeaderError)
+
+    mesh = meshlib.make_mesh(8)
+    data = b"taxonomy test corpus " * 300
+    container = runner.compress(data, codec="lz4", block_size=4096, mesh=mesh)
+
+    with pytest.raises(HeaderError, match="magic"):
+        runner.decompress(b"JUNK" + container[4:], mesh=mesh)
+    with pytest.raises(HeaderError, match="unknown codec"):
+        runner.decompress(container[:4] + b"\x99" + container[5:], mesh=mesh)
+    with pytest.raises(BlockLengthError):
+        runner.decompress(container[: len(container) // 2], mesh=mesh)
+    # flip one payload byte -> corpus checksum mismatch (or corrupt stream)
+    bad = bytearray(container)
+    bad[-3] ^= 0x40
+    with pytest.raises((ChecksumError, Exception)):
+        runner.decompress(bytes(bad), mesh=mesh)

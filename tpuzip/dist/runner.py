@@ -28,6 +28,8 @@ from tpuzip.codecs import (ari as jari, bwt as jbwt, lz4 as jlz4,
 from tpuzip.core import blocks as blk
 from tpuzip.core.checksum import adler32_batch
 from tpuzip.dist import mesh as meshlib
+from tpuzip.runtime.errors import (BlockLengthError, ChecksumError,
+                                   CorruptStreamError, HeaderError)
 
 MAGIC = b"TPZ1"
 
@@ -142,9 +144,16 @@ def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
 
 def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     if container[:4] != MAGIC:
-        raise ValueError("bad tpz magic")
+        raise HeaderError("bad tpz magic")
+    if container[4] not in CODEC_IDS:
+        raise HeaderError(f"unknown codec id {container[4]}")
     codec = CODEC_IDS[container[4]]
-    block_size, B, orig_len, a32 = struct.unpack_from("<IIQI", container, 6)
+    try:
+        block_size, B, orig_len, a32 = struct.unpack_from("<IIQI", container, 6)
+    except struct.error as e:
+        raise HeaderError(f"truncated tpz header: {e}") from None
+    if len(container) < 26 + 4 * B:
+        raise BlockLengthError("container truncated in length table")
     off = 6 + 4 + 4 + 8 + 4
     clens = np.frombuffer(container, np.uint32, B, off).astype(np.int64)
     off += 4 * B
@@ -164,6 +173,11 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         cap = jrle.encode_cap(block_size)
     else:
         cap = jlz4.encode_cap(block_size)
+    if off + int(clens.sum()) > len(container):
+        raise BlockLengthError(
+            "container truncated: payload shorter than length table claims")
+    if (clens > cap).any():
+        raise BlockLengthError("declared block length exceeds codec bound")
     comp = np.zeros((B, cap), np.uint8)
     pos = 0
     for i in range(B):
@@ -209,7 +223,10 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         if bad.any() and codec == "lz4":
             raise ValueError(f"block length mismatch at {np.nonzero(bad)[0][:8]}")
     if np.asarray(errs).any():
-        raise ValueError(
-            f"corrupt blocks: {np.nonzero(np.asarray(errs))[0][:8]}")
+        raise CorruptStreamError(np.nonzero(np.asarray(errs))[0])
     data = b"".join(out_np[i, : olens[i]].tobytes() for i in range(B))
-    return data[:orig_len]
+    data = data[:orig_len]
+    if a32 and corpus_adler32(data) != a32:
+        raise ChecksumError(
+            f"corpus Adler-32 mismatch: {corpus_adler32(data):#x} != {a32:#x}")
+    return data

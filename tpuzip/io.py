@@ -1,0 +1,277 @@
+"""Streaming file-like adapters — the reference's L4 API surface.
+
+rust-compress exposes every codec as ``Encoder<W: Write>`` / ``Decoder<R:
+Read>`` newtypes that nest over inner streams.  The Python-native analogue:
+writer/reader objects with ``write()/read()/close()`` that wrap any binary
+file object, buffering block_max bytes and pushing complete blocks through
+the device codec.  Composition = nesting, exactly like the reference:
+
+    with Lz4FrameWriter(open(p, "wb")) as w:
+        w.write(chunk)            # buffered; full blocks hit the device
+
+Formats: LZ4 frames (liblz4-interoperable, written incrementally with a
+streaming xxh32 content checksum) and zlib (streamed as successive BFINAL=0
+dynamic blocks + a final empty stored block, accepted by stock zlib).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from tpuzip.oracle.xxh32 import Xxh32State, xxh32
+
+__all__ = ["Lz4FrameWriter", "Lz4FrameReader", "ZlibWriter", "ZlibReader"]
+
+
+class _WriterBase:
+    def __init__(self, inner):
+        self.inner = inner
+        self.closed = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def writable(self) -> bool:
+        return True
+
+
+class Lz4FrameWriter(_WriterBase):
+    """Incremental LZ4 frame writer over the device block codec."""
+
+    def __init__(self, inner, block_max: int = 1 << 16,
+                 content_checksum: bool = True, use_device: bool = True):
+        super().__init__(inner)
+        from tpuzip.oracle.lz4 import _BD_MAX_SIZES
+
+        self.block_max = block_max
+        self.content_checksum = content_checksum
+        self.use_device = use_device
+        self.buf = bytearray()
+        self.xxh = Xxh32State()
+        bd_id = {v: k for k, v in _BD_MAX_SIZES.items()}[block_max]
+        flg = (1 << 6) | (1 << 5) | (int(content_checksum) << 2)
+        descriptor = bytes([flg, bd_id << 4])
+        from tpuzip.oracle.lz4 import MAGIC
+
+        inner.write(struct.pack("<I", MAGIC))
+        inner.write(descriptor + bytes([(xxh32(descriptor) >> 8) & 0xFF]))
+
+    def write(self, data: bytes) -> int:
+        self.buf += data
+        if self.content_checksum:
+            self.xxh.update(bytes(data))
+        while len(self.buf) >= self.block_max:
+            self._emit(bytes(self.buf[: self.block_max]))
+            del self.buf[: self.block_max]
+        return len(data)
+
+    def _emit(self, chunk: bytes) -> None:
+        comp = self._compress(chunk)
+        if len(comp) < len(chunk):
+            self.inner.write(struct.pack("<I", len(comp)) + comp)
+        else:
+            self.inner.write(struct.pack("<I", len(chunk) | 0x80000000)
+                             + chunk)
+
+    def _compress(self, chunk: bytes) -> bytes:
+        if self.use_device:
+            import numpy as np
+
+            import jax
+            import jax.numpy as jnp
+
+            from tpuzip.codecs import lz4 as jlz4
+
+            arr = np.zeros(self.block_max, np.uint8)
+            arr[: len(chunk)] = np.frombuffer(chunk, np.uint8)
+            comp, clen = jax.jit(jlz4.encode, static_argnums=())(
+                jnp.array(arr), jnp.int32(len(chunk)))
+            return np.asarray(comp)[: int(clen)].tobytes()
+        from tpuzip.oracle.lz4 import compress_block
+
+        return compress_block(chunk)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self.buf:
+            self._emit(bytes(self.buf))
+            self.buf.clear()
+        self.inner.write(struct.pack("<I", 0))
+        if self.content_checksum:
+            self.inner.write(struct.pack("<I", self.xxh.digest()))
+        self.closed = True
+
+
+class Lz4FrameReader:
+    """Incremental LZ4 frame reader (block at a time)."""
+
+    def __init__(self, inner):
+        from tpuzip.oracle.lz4 import MAGIC, _BD_MAX_SIZES
+
+        self.inner = inner
+        hdr = inner.read(7)
+        (magic,) = struct.unpack_from("<I", hdr, 0)
+        if magic != MAGIC:
+            raise ValueError("bad LZ4 frame magic")
+        flg, bd = hdr[4], hdr[5]
+        if flg >> 6 != 1:
+            raise ValueError("unsupported frame version")
+        self.content_checksum = bool((flg >> 2) & 1)
+        if (flg >> 3) & 1:
+            inner.read(8)
+        self.block_max = _BD_MAX_SIZES[(bd >> 4) & 7]
+        self.pending = bytearray()
+        self.done = False
+        self.xxh = Xxh32State()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    def read(self, n: int = -1) -> bytes:
+        while not self.done and (n < 0 or len(self.pending) < n):
+            self._pull()
+        if n < 0:
+            out = bytes(self.pending)
+            self.pending.clear()
+        else:
+            out = bytes(self.pending[:n])
+            del self.pending[:n]
+        return out
+
+    def _pull(self) -> None:
+        from tpuzip.oracle.lz4 import decompress_block
+
+        raw = self.inner.read(4)
+        if len(raw) < 4:
+            raise ValueError("truncated frame")
+        (blen,) = struct.unpack("<I", raw)
+        if blen == 0:
+            if self.content_checksum:
+                (cc,) = struct.unpack("<I", self.inner.read(4))
+                if cc != self.xxh.digest():
+                    raise ValueError("LZ4 content checksum mismatch")
+            self.done = True
+            return
+        stored = bool(blen & 0x80000000)
+        blen &= 0x7FFFFFFF
+        payload = self.inner.read(blen)
+        dec = payload if stored else decompress_block(
+            payload, max_out=self.block_max)
+        self.pending += dec
+        self.xxh.update(bytes(dec))
+
+
+class ZlibWriter(_WriterBase):
+    """Streaming zlib: successive BFINAL=0 deflate blocks, final empty
+    stored block, trailing Adler-32.  Accepted by stock zlib."""
+
+    def __init__(self, inner, block_size: int = 1 << 16):
+        super().__init__(inner)
+        from tpuzip.oracle.adler import State32
+
+        self.block_size = block_size
+        self.buf = bytearray()
+        self.adler = State32()
+        self.bitbuf = 0
+        self.bitcnt = 0
+        cmf, flg = 0x78, 0
+        rem = (cmf * 256 + flg) % 31
+        if rem:
+            flg += 31 - rem
+        inner.write(bytes([cmf, flg]))
+
+    def write(self, data: bytes) -> int:
+        self.buf += data
+        self.adler.feed(bytes(data))
+        while len(self.buf) >= self.block_size:
+            self._emit(bytes(self.buf[: self.block_size]), final=False)
+            del self.buf[: self.block_size]
+        return len(data)
+
+    def _emit(self, chunk: bytes, final: bool) -> None:
+        from tpuzip.oracle import deflate as od
+
+        tokens = od.lz77_parse(chunk, max_chain=64)
+        bw = od.BitWriter()
+        bw.bitbuf, bw.bitcnt = self.bitbuf, self.bitcnt
+        bw.bits(1 if final else 0, 1)
+        bw.bits(2, 2)
+        lit_lengths, dist_lengths = od._dynamic_lengths(tokens)
+        od._write_dynamic_header(bw, lit_lengths, dist_lengths)
+        lit_codes = od.canonical_codes(lit_lengths)
+        dist_codes = od.canonical_codes(dist_lengths)
+        for is_lit, length, value in tokens:
+            if is_lit:
+                bw.huff(lit_codes[value], lit_lengths[value])
+            else:
+                sym, eb, ev = od.length_to_code(length)
+                bw.huff(lit_codes[sym], lit_lengths[sym])
+                if eb:
+                    bw.bits(ev, eb)
+                dsym, deb, dev = od.dist_to_code(value)
+                bw.huff(dist_codes[dsym], dist_lengths[dsym])
+                if deb:
+                    bw.bits(dev, deb)
+        bw.huff(lit_codes[256], lit_lengths[256])
+        # keep sub-byte bit state for the next block (blocks are contiguous)
+        self.inner.write(bytes(bw.out))
+        self.bitbuf, self.bitcnt = bw.bitbuf, bw.bitcnt
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self.buf:
+            self._emit(bytes(self.buf), final=False)
+            self.buf.clear()
+        # final empty stored block flushes bit alignment deterministically
+        bw_bits = (1, 1), (0, 2)
+        bitbuf, bitcnt = self.bitbuf, self.bitcnt
+        out = bytearray()
+        for v, nb in bw_bits:
+            bitbuf |= v << bitcnt
+            bitcnt += nb
+        while bitcnt >= 8:  # pending bits can exceed one byte
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+        if bitcnt:
+            out.append(bitbuf & 0xFF)  # align to byte boundary
+        out += b"\x00\x00\xff\xff"  # LEN=0 NLEN=0xFFFF
+        self.inner.write(bytes(out))
+        self.inner.write(struct.pack(">I", self.adler.result()))
+        self.closed = True
+
+
+class ZlibReader:
+    """zlib reader (buffers the inner stream; incremental serve)."""
+
+    def __init__(self, inner):
+        self.data = inner.read()
+        self.pos = 0
+        self._out: bytes | None = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    def read(self, n: int = -1) -> bytes:
+        if self._out is None:
+            from tpuzip.oracle import zlib_ as ozlib
+
+            self._out = ozlib.decompress(self.data)
+        if n < 0:
+            out, self._out = self._out[self.pos:], b""
+            self.pos = 0
+            return out
+        out = self._out[self.pos : self.pos + n]
+        self.pos += n
+        return out
