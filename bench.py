@@ -1,8 +1,15 @@
 """Benchmark entry point (driver contract: print ONE JSON line).
 
-Headline: LZ4 block encode+decode throughput, batch of independent 64 KiB
-blocks on one chip (BASELINE eval config 1), vs single-thread liblz4 on the
-host CPU as the stand-in for the (unbenchmarked) Rust reference.
+Headline: LZ4 block encode+decode throughput on independent 64 KiB blocks
+on one chip (BASELINE eval config 1), vs single-thread liblz4 on the host
+CPU standing in for the (unbenchmarked) Rust reference.  The detail block
+reports the Pallas kernel paths (MTF scan, adaptive range encoder) where
+the TPU formulation shines.
+
+Environment notes baked in (see docs/DESIGN.md): sync via scalar-reduction
+fetch (block_until_ready unreliable on the axon tunnel); persistent compile
+cache (first-ever run pays minutes of remote compile, later runs are warm);
+all data device-resident inside timed regions.
 """
 
 import json
@@ -30,8 +37,6 @@ def make_corpus(nbytes: int) -> bytes:
 def main() -> None:
     import jax
 
-    # persistent compile cache: remote compiles of the big batch graphs take
-    # minutes; cache hits make repeat bench runs start in seconds.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -39,28 +44,27 @@ def main() -> None:
 
     from tpuzip.codecs import lz4 as jlz4
     from tpuzip.core import blocks as blk
+    from tpuzip.kernels import mtf_scan, range_coder
     from tpuzip.oracle import liblz4
 
-    total_mb = 10
     block_size = 1 << 16
-    data = make_corpus(total_mb << 20)
+    B = 32                      # proven-compile configuration
+    data = make_corpus(B * block_size)
     blocks, lens = blk.chunk(data, block_size)
-    B = blocks.shape[0]
     jb, jl = jnp.array(blocks), jnp.array(lens)
+    iters = 3
 
-    # NB: on the axon remote platform block_until_ready does not reliably
-    # block; a scalar-reduction fetch is the only honest sync.
+    # ------------------------------------------------ LZ4 encode
     enc = jax.jit(jlz4.encode_batch)
     enc_sync = jax.jit(lambda b, l: jnp.sum(jlz4.encode_batch(b, l)[1]))
     comp, clens = enc(jb, jl)
-    int(enc_sync(jb, jl))  # compile + warm
-
-    iters = 3
+    int(enc_sync(jb, jl))
     t0 = time.perf_counter()
     for _ in range(iters):
         int(enc_sync(jb, jl))
     enc_s = (time.perf_counter() - t0) / iters
 
+    # ------------------------------------------------ LZ4 decode
     cap = jlz4.encode_cap(block_size)
     comp_np = np.asarray(comp)
     carr = np.zeros((B, cap), np.uint8)
@@ -71,13 +75,13 @@ def main() -> None:
     dec_sync = jax.jit(
         lambda c, l: jnp.sum(jlz4.decode_batch(c, l, block_size)[1]))
     out, olens, errs = dec(jc, jcl, block_size)
-    int(dec_sync(jc, jcl))  # compile + warm
+    int(dec_sync(jc, jcl))
     t0 = time.perf_counter()
     for _ in range(iters):
         int(dec_sync(jc, jcl))
     dec_s = (time.perf_counter() - t0) / iters
 
-    # correctness gate: every block must round-trip vs the real liblz4
+    # correctness gate: round-trip + cross-validation with real liblz4
     assert int(np.asarray(errs).sum()) == 0
     out_np = np.asarray(out)
     for i in range(0, B, max(B // 8, 1)):
@@ -92,7 +96,27 @@ def main() -> None:
     dec_gbps = nbytes / dec_s / 1e9
     combined = 2 * nbytes / (enc_s + dec_s) / 1e9
 
-    # CPU baseline: single-thread liblz4 (proxy for the Rust reference)
+    # ------------------------------------------------ Pallas kernel paths
+    N = 1 << 16
+    rngk = np.random.default_rng(7)
+    xk = jnp.array(rngk.integers(0, 256, (N, 128), dtype=np.uint8))
+    lk = jnp.full(128, N, jnp.int32)
+    mtf_f = jax.jit(lambda x: jnp.sum(mtf_scan.mtf_lanes(x), dtype=jnp.int32))
+    int(mtf_f(xk))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        int(mtf_f(xk))
+    mtf_mbps = N * 128 / ((time.perf_counter() - t0) / iters) / 1e6
+
+    ari_f = jax.jit(lambda x, l: jnp.sum(
+        range_coder.ari_encode_lanes(x, l)[1], dtype=jnp.int32))
+    int(ari_f(xk, lk))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        int(ari_f(xk, lk))
+    ari_mbps = N * 128 / ((time.perf_counter() - t0) / iters) / 1e6
+
+    # ------------------------------------------------ CPU baseline
     vs = 0.0
     if liblz4.available():
         t0 = time.perf_counter()
@@ -112,10 +136,13 @@ def main() -> None:
         "detail": {
             "encode_GBps": round(enc_gbps, 4),
             "decode_GBps": round(dec_gbps, 4),
+            "pallas_mtf_MBps": round(mtf_mbps, 1),
+            "pallas_ari_encode_MBps": round(ari_mbps, 1),
             "platform": jax.devices()[0].platform,
             "blocks": B,
             "block_kib": block_size // 1024,
             "ratio": round(float(np.asarray(clens).sum()) / nbytes, 4),
+            "baseline": "single-thread liblz4 (CPU rust-compress proxy)",
         },
     }))
 

@@ -1,0 +1,73 @@
+"""Integration tests mirroring the BASELINE eval configs (CPU-scale).
+
+Config 1: LZ4 round-trip on text          -> test_dist / test_jax_lz4
+Config 2: RLE + ari on Calgary-like files -> here
+Config 3: DEFLATE stream-compatible       -> test_jax_deflate
+Config 4: BWT+MTF/DC+entropy pipeline     -> here (+ test_dist bwt codec)
+Config 5: multi-host ordered gather       -> test_dist multihost paths
+"""
+
+import numpy as np
+
+import tpuzip
+from tpuzip.oracle import ari as oari, rle as orle
+
+
+def _calgary_like(rng):
+    """A small mixed corpus in the spirit of the Calgary corpus."""
+    book = (b"The quick brown fox jumps over the lazy dog. " * 120)
+    prog = (b"for (int i = 0; i < n; ++i) { sum += data[i]; }\n" * 90)
+    geo = rng.integers(0, 256, 4000, dtype=np.uint8).tobytes()
+    pic = (b"\x00" * 500 + b"\xff" * 300 + b"\x00" * 500) * 4
+    return {"book": book, "prog": prog, "geo": geo, "pic": pic}
+
+
+def test_config2_rle_ari_bit_exact(rng):
+    """RLE + ari chained, bit-exact vs the oracle chain on every file."""
+    import jax.numpy as jnp
+
+    from tpuzip.codecs import ari as jari, rle as jrle
+
+    N = 8192
+    for name, data in _calgary_like(rng).items():
+        data = data[:N]
+        # device chain
+        arr = np.zeros(N, np.uint8)
+        arr[: len(data)] = np.frombuffer(data, np.uint8)
+        r, rlen = jrle.encode(jnp.array(arr), jnp.int32(len(data)))
+        cap = jrle.encode_cap(N)
+        a, alen = jari.encode(r[:cap], rlen)
+        got = np.asarray(a)[: int(alen)].tobytes()
+        # bit-exact vs the oracle ari over the same RLE stream (the JAX RLE
+        # encoder legally splits runs at 256, so streams can differ from the
+        # oracle encoder's while both decode identically)
+        jrle_stream = np.asarray(r)[: int(rlen)].tobytes()
+        assert orle.decode(jrle_stream) == data, name
+        assert got == oari.encode_bytes(jrle_stream), name
+        # and back
+        r2 = jari.decode(jnp.array(np.frombuffer(
+            got.ljust(jari.encode_cap(cap), b"\0"), np.uint8)), rlen, cap)
+        out, olen = jrle.decode(r2, rlen, N)
+        assert np.asarray(out)[: int(olen)].tobytes() == data, name
+
+
+def test_config4_bwt_pipeline_ratio(rng):
+    """BWT pipeline compresses structured text well and round-trips."""
+    data = (b"abracadabra banana mississippi compression pipeline " * 400)
+    container = tpuzip.compress(data, codec="bwt", block_size=8192)
+    assert tpuzip.decompress(container) == data
+    assert len(container) < len(data) // 2
+
+
+def test_top_level_api(rng):
+    data = b"top level api " * 500
+    c = tpuzip.compress(data)
+    assert tpuzip.decompress(c) == data
+
+    import io as _io
+
+    sink = _io.BytesIO()
+    with tpuzip.open(sink, "wb", format="lz4f", use_device=False) as w:
+        w.write(data)
+    r = tpuzip.open(_io.BytesIO(sink.getvalue()), "rb", format="lz4f")
+    assert r.read() == data

@@ -21,3 +21,29 @@ See SURVEY.md for the layer map of the reference and the build plan.
 __version__ = "0.1.0"
 
 from tpuzip.core.config import CodecConfig, Config  # noqa: F401
+
+
+def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16):
+    """One-call corpus compression through the sharded pipeline (tpz)."""
+    from tpuzip.dist import runner
+
+    return runner.compress(data, codec=codec, block_size=block_size)
+
+
+def decompress(container: bytes) -> bytes:
+    from tpuzip.dist import runner
+
+    return runner.decompress(container)
+
+
+def open(file, mode: str = "rb", format: str = "lz4f", **kw):  # noqa: A001
+    """Streaming reader/writer over a binary file object (tpuzip.io)."""
+    from tpuzip import io as tio
+
+    if format == "lz4f":
+        return tio.Lz4FrameWriter(file, **kw) if "w" in mode \
+            else tio.Lz4FrameReader(file)
+    if format == "zlib":
+        return tio.ZlibWriter(file, **kw) if "w" in mode \
+            else tio.ZlibReader(file)
+    raise ValueError(f"unknown streaming format {format!r}")
