@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tpuzip.core.bitio import exclusive_cumsum, pack_bytes_varlen
+from tpuzip.core.bitio import pack_bytes_varlen
 
 VARINT_MAX = 5  # u32 varints
 HDR = 4 + 256 * 4

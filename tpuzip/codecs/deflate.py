@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tpuzip.core.bitio import bit_reverse, exclusive_cumsum, pack_bits_lsb
+from tpuzip.core.bitio import bit_reverse, pack_bits_lsb
 from tpuzip.oracle import deflate as od
 
 LUT_BITS = 15

@@ -6,7 +6,6 @@ equivalents (SURVEY §5): XLA collectives over ICI — no NCCL/MPI.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

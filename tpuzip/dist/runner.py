@@ -26,7 +26,7 @@ from jax.sharding import Mesh
 from tpuzip.codecs import (ari as jari, bwt as jbwt, lz4 as jlz4,
                            mtf as jmtf, rle as jrle)
 from tpuzip.core import blocks as blk
-from tpuzip.core.checksum import adler32_batch
+
 from tpuzip.dist import mesh as meshlib
 from tpuzip.runtime.errors import (BlockLengthError, ChecksumError,
                                    CorruptStreamError, HeaderError)
