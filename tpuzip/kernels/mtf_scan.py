@@ -30,16 +30,20 @@ CHUNK = 256
 GROUP = 32  # u8 sublane tile height — aligned slab size
 
 
-def _mtf_kernel(x_ref, out_ref, rank, *, decode: bool):
+def _mtf_kernel(x_ref, out_ref, rank, *, decode: bool, sdtype=jnp.int32):
+    """sdtype stays i32: v5e Mosaic supports vector add/compare only for
+    i32 (i8 adds and i16 compares both fail to compile), so narrower rank
+    state cannot cut VMEM traffic on this target."""
     @pl.when(pl.program_id(0) == 0)
     def _():
-        rank[:, :] = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+        rank[:, :] = jax.lax.broadcasted_iota(
+            jnp.int32, (256, LANES), 0).astype(sdtype)
 
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0).astype(sdtype)
 
     def group_body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
-        slab = x_ref[pl.ds(base, GROUP), :].astype(jnp.int32)  # (32, 128)
+        slab = x_ref[pl.ds(base, GROUP), :].astype(sdtype)  # (32, 128)
         rows = []
         for j in range(GROUP):  # static unroll — aligned vector ops only
             sym = slab[j, :]
@@ -47,13 +51,15 @@ def _mtf_kernel(x_ref, out_ref, rank, *, decode: bool):
             if decode:
                 r = sym
                 onehot = st == r[None, :]
-                out = jnp.sum(jnp.where(onehot, iota256, 0), axis=0)
+                out = jnp.sum(jnp.where(onehot, iota256, 0), axis=0,
+                              dtype=jnp.int32).astype(sdtype)
             else:
                 onehot = iota256 == sym[None, :]
-                r = jnp.sum(jnp.where(onehot, st, 0), axis=0)
+                r = jnp.sum(jnp.where(onehot, st, 0), axis=0,
+                            dtype=jnp.int32).astype(sdtype)
                 out = r
-            bump = (st < r[None, :]).astype(jnp.int32)
-            rank[:, :] = jnp.where(onehot, 0, st + bump)
+            bump = (st < r[None, :]).astype(sdtype)
+            rank[:, :] = jnp.where(onehot, sdtype(0), st + bump)
             rows.append(out.astype(jnp.uint8))
         out_ref[pl.ds(base, GROUP), :] = jnp.stack(rows)
         return 0
@@ -69,15 +75,16 @@ def mtf_lanes(x: jnp.ndarray, decode: bool = False,
     n, lanes = x.shape
     assert lanes == LANES and n % CHUNK == 0
     grid = n // CHUNK
+    sdtype = jnp.int32
     return pl.pallas_call(
-        functools.partial(_mtf_kernel, decode=decode),
+        functools.partial(_mtf_kernel, decode=decode, sdtype=sdtype),
         out_shape=jax.ShapeDtypeStruct((n, LANES), jnp.uint8),
         grid=(grid,),
         in_specs=[pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((256, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((256, LANES), sdtype)],
         interpret=interpret,
     )(x)
 
