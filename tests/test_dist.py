@@ -142,3 +142,11 @@ def test_lz4_frame_device_backed(samples):
             continue
         fr = lz4_frame.compress_frame(s)
         assert olz4.decompress_frame(fr) == s
+
+
+def test_runner_roundtrip_bwtdc_pipeline():
+    mesh = meshlib.make_mesh(8)
+    data = (b"abracadabra banana mississippi distance coding " * 80)
+    container = runner.compress(data, codec="bwtdc", block_size=2048,
+                                mesh=mesh)
+    assert runner.decompress(container, mesh=mesh) == data

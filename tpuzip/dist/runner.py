@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from tpuzip.codecs import (ari as jari, bwt as jbwt, lz4 as jlz4,
+from tpuzip.codecs import (ari as jari, bwt as jbwt, dc as jdc, lz4 as jlz4,
                            mtf as jmtf, rle as jrle)
 from tpuzip.core import blocks as blk
 
@@ -46,7 +46,7 @@ def corpus_adler32(data: bytes) -> int:
     import zlib
 
     return zlib.adler32(data)
-CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4, "deflate": 5}
+CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4, "deflate": 5, "bwtdc": 6}
 CODEC_IDS = {v: k for k, v in CODECS.items()}
 
 def _bwt_pipeline_encode(block, length):
@@ -78,6 +78,36 @@ def _bwt_pipeline_decode(comp, comp_len, out_n):
 _bwt_encode_batch = jax.vmap(_bwt_pipeline_encode, in_axes=(0, 0))
 _bwt_decode_batch = jax.vmap(_bwt_pipeline_decode, in_axes=(0, 0, None))
 
+
+def _bwtdc_pipeline_encode(block, length):
+    """Reference's alternative post-BWT path: BWT -> DC -> adaptive ari.
+    Payload: [origin u32 LE][dc_len u32 LE][ari stream]."""
+    n = block.shape[0]
+    L, origin = jbwt.encode_block(block, length)
+    dcomp, dlen = jdc.encode(L, length)
+    acomp, alen = jari.encode(dcomp, dlen,
+                              cap=jari.encode_cap(jdc.encode_cap(n)) - 8)
+    hdr = jnp.stack(
+        [(origin >> (8 * k)) & 0xFF for k in range(4)]
+        + [(dlen >> (8 * k)) & 0xFF for k in range(4)]).astype(jnp.uint8)
+    return jnp.concatenate([hdr, acomp]), alen + 8
+
+
+def _bwtdc_pipeline_decode(comp, pair, out_n):
+    c32 = comp.astype(jnp.int32)
+    origin = c32[0] | (c32[1] << 8) | (c32[2] << 16) | (c32[3] << 24)
+    dlen = c32[4] | (c32[5] << 8) | (c32[6] << 16) | (c32[7] << 24)
+    orig_len = pair[1]
+    dc_cap = jdc.encode_cap(out_n)
+    dstream = jari.decode(comp[8:], dlen, dc_cap)
+    L, llen, err = jdc.decode(dstream, dlen, out_n)
+    out = jbwt.decode_block(L, origin, orig_len)
+    return out, orig_len, err
+
+
+_bwtdc_encode_batch = jax.vmap(_bwtdc_pipeline_encode, in_axes=(0, 0))
+_bwtdc_decode_batch = jax.vmap(_bwtdc_pipeline_decode, in_axes=(0, 0, None))
+
 def _deflate_cap(n):
     return 2 * n + 2048
 
@@ -93,6 +123,8 @@ _ENCODERS = {
     "rle": (jrle.encode_batch, jrle.encode_cap),
     "ari": (jari.encode_batch, jari.encode_cap),
     "bwt": (_bwt_encode_batch, jari.encode_cap),
+    "bwtdc": (_bwtdc_encode_batch,
+              lambda n: jari.encode_cap(jdc.encode_cap(n))),
     "deflate": (_deflate_encode_batch, _deflate_cap),
 }
 
@@ -167,6 +199,8 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     mesh = mesh or meshlib.make_mesh()
     if codec in ("ari", "bwt"):
         cap = jari.encode_cap(block_size)
+    elif codec == "bwtdc":
+        cap = jari.encode_cap(jdc.encode_cap(block_size))
     elif codec == "deflate":
         cap = _deflate_cap(block_size)
     elif codec == "rle":
@@ -213,6 +247,15 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
             jc, jp, block_size)
         out_np = np.asarray(out)
         errs = np.zeros(B)
+    elif codec == "bwtdc":
+        pair = np.stack([clens.astype(np.int32), olens.astype(np.int32)],
+                        axis=1)
+        jp = jax.device_put(jnp.array(pair),
+                            meshlib.block_sharding(mesh))
+        out, _, errs = jax.jit(_bwtdc_decode_batch, static_argnums=2)(
+            jc, jp, block_size)
+        out_np = np.asarray(out)
+        errs = np.asarray(errs)
     else:
         out, olens_dev, errs = jax.jit(
             lambda c, l: _decode_batch(codec, c, l, block_size))(jc, jl)
