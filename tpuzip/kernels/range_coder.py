@@ -199,3 +199,34 @@ def ari_encode_batch_kernel(blocks: jnp.ndarray, lengths: jnp.ndarray,
         tail = bytes(((int(low[l]) >> (24 - 8 * k)) & 0xFF) for k in range(4))
         out.append(b"".join(parts) + tail)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("increment", "threshold"))
+def ari_encode_lanes_packed(x: jnp.ndarray, lens: jnp.ndarray,
+                            increment: int = 8, threshold: int = 1 << 13):
+    """Kernel + ON-DEVICE compaction: returns (streams (128, CAP) u8,
+    stream_lens (128,) i32) — each row a complete oracle-format ari stream
+    (renorm bytes + the 4 finish bytes).  No host round-trips."""
+    n, lanes = x.shape
+    bytes_, counts, state = ari_encode_lanes(x, lens, increment, threshold)
+    cap = 2 * n + 64
+    cnt = counts.astype(jnp.int32)                      # (N, L)
+    offs = jnp.cumsum(cnt, axis=0) - cnt                # exclusive, per lane
+    totals = cnt.sum(axis=0)                            # (L,)
+    b4 = bytes_.reshape(n, 4, lanes)
+    j = jnp.arange(4, dtype=jnp.int32)[None, :, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 4, lanes), 2)
+    pos = offs[:, None, :] + j
+    valid = j < cnt[:, None, :]
+    flat = jnp.where(valid, pos * lanes + lane, cap * lanes)
+    out = jnp.zeros(cap * lanes, jnp.uint8).at[flat.reshape(-1)].set(
+        b4.reshape(-1), mode="drop")
+    # finish(): 4 tail bytes of final low per lane
+    low = state[0]
+    tail = jnp.stack([(low >> (24 - 8 * k)).astype(jnp.uint8)
+                      for k in range(4)])               # (4, L)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (4, lanes), 1)
+    tpos = (totals[None, :] + jnp.arange(4, dtype=jnp.int32)[:, None]) \
+        * lanes + lane2
+    out = out.at[tpos.reshape(-1)].set(tail.reshape(-1), mode="drop")
+    return jnp.transpose(out.reshape(cap, lanes)), totals + 4
