@@ -7,6 +7,8 @@ ordered ragged gather, and framed:
 tpz container (defined by this framework):
   magic 'TPZ1' | codec u8 | flags u8 | block_size u32 LE | num_blocks u32 LE
   | orig_len u64 LE | adler32(orig) u32 LE | comp_lens u32[num_blocks] LE
+  | [flags&1: block_adler u32[num_blocks] LE — per-block checksums of the
+    ORIGINAL block bytes, computed on device]
   | payloads (concatenated, submission order)
 
 Failure detection (SURVEY §5): decode paths return per-block error flags —
@@ -159,8 +161,11 @@ def _decode_batch(codec: str, comp, lens, out_n):
 
 
 def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
-             mesh: Mesh | None = None) -> bytes:
-    """Compress a corpus with the sharded batch pipeline."""
+             mesh: Mesh | None = None, block_checksums: bool = False) -> bytes:
+    """Compress a corpus with the sharded batch pipeline.
+
+    block_checksums=True adds a device-computed Adler-32 per block so a
+    corrupt payload poisons (and identifies) only its own block."""
     mesh = mesh or meshlib.make_mesh()
     ndp = mesh.shape["dp"]
     blocks, lengths = blk.chunk_padded(data, block_size, ndp)
@@ -183,10 +188,16 @@ def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
 
     hdr = bytearray(MAGIC)
     hdr.append(CODECS[codec])
-    hdr.append(0)
+    hdr.append(1 if block_checksums else 0)
     hdr += struct.pack("<IIQI", block_size, B, len(data), a32)
     for i in range(B):
         hdr += struct.pack("<I", int(clens_np[i]))
+    if block_checksums:
+        from tpuzip.core.checksum import adler32_batch
+
+        bsums = np.asarray(jax.jit(adler32_batch)(jb, jl))
+        for i in range(B):
+            hdr += struct.pack("<I", int(bsums[i]))
     payload = b"".join(
         comp_np[i, : clens_np[i]].tobytes() for i in range(B))
     # per-block original lengths are implied by block_size + orig_len,
@@ -200,6 +211,7 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     if container[4] not in CODEC_IDS:
         raise HeaderError(f"unknown codec id {container[4]}")
     codec = CODEC_IDS[container[4]]
+    flags = container[5]
     try:
         block_size, B, orig_len, a32 = struct.unpack_from("<IIQI", container, 6)
     except struct.error as e:
@@ -209,6 +221,12 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     off = 6 + 4 + 4 + 8 + 4
     clens = np.frombuffer(container, np.uint32, B, off).astype(np.int64)
     off += 4 * B
+    block_sums = None
+    if flags & 1:
+        if len(container) < off + 4 * B:
+            raise BlockLengthError("container truncated in checksum table")
+        block_sums = np.frombuffer(container, np.uint32, B, off)
+        off += 4 * B
     # original per-block lengths implied by chunking
     olens = np.zeros(B, np.int64)
     rem = orig_len
@@ -287,6 +305,15 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
             raise ValueError(f"block length mismatch at {np.nonzero(bad)[0][:8]}")
     if np.asarray(errs).any():
         raise CorruptStreamError(np.nonzero(np.asarray(errs))[0])
+    if block_sums is not None:
+        from tpuzip.core.checksum import adler32_batch
+
+        got_sums = np.asarray(jax.jit(adler32_batch)(
+            jnp.array(out_np[:, :block_size]),
+            jnp.array(olens.astype(np.int32))))
+        bad = np.nonzero(got_sums != block_sums)[0]
+        if bad.size:
+            raise CorruptStreamError(bad)
     data = b"".join(out_np[i, : olens[i]].tobytes() for i in range(B))
     data = data[:orig_len]
     if a32 and corpus_adler32(data) != a32:
