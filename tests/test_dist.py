@@ -175,3 +175,12 @@ def test_per_block_checksums_isolate_corruption():
         assert 0 not in e.block_ids   # block 0 untouched
     except Exception:
         pass  # lz4 decode itself may flag it first — also acceptable
+
+
+def test_runner_roundtrip_lz4p():
+    mesh = meshlib.make_mesh(8)
+    data = (b"parallel decodable sequences, the TPU-native LZ. " * 500)
+    container = runner.compress(data, codec="lz4p", block_size=4096,
+                                mesh=mesh)
+    assert len(container) < len(data)
+    assert runner.decompress(container, mesh=mesh) == data

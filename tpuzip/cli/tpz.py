@@ -102,7 +102,7 @@ def main(argv=None) -> int:
 
     def common(sp, out=True):
         sp.add_argument("-c", "--codec", default="lz4",
-                        choices=["lz4", "rle", "ari", "bwt", "bwtdc", "deflate"])
+                        choices=["lz4", "lz4p", "rle", "ari", "bwt", "bwtdc", "deflate"])
         sp.add_argument("-f", "--format", default="tpz",
                         choices=["tpz", "lz4f", "zlib"])
         sp.add_argument("-b", "--block-size", type=int, default=1 << 16)

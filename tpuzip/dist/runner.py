@@ -48,7 +48,7 @@ def corpus_adler32(data: bytes) -> int:
     import zlib
 
     return zlib.adler32(data)
-CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4, "deflate": 5, "bwtdc": 6}
+CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4, "deflate": 5, "bwtdc": 6, "lz4p": 7}
 CODEC_IDS = {v: k for k, v in CODECS.items()}
 
 def _bwt_pipeline_encode(block, length):
@@ -147,13 +147,27 @@ _ENCODERS = {
     "bwtdc": (_bwtdc_encode_batch,
               lambda n: jari.encode_cap(jdc.encode_cap(n))),
     "deflate": (_deflate_encode_batch, _deflate_cap),
+    "lz4p": (None, None),  # filled below (late import avoids a cycle)
 }
+
+
+def _init_lz4p():
+    from tpuzip.codecs import lz4p as jlz4p
+
+    _ENCODERS["lz4p"] = (jlz4p.encode_batch, jlz4p.encode_cap)
+
+
+_init_lz4p()
 
 
 def _decode_batch(codec: str, comp, lens, out_n):
     if codec == "lz4":
         out, olens, errs = jlz4.decode_batch(comp, lens, out_n)
         return out[:, :out_n], olens, errs
+    if codec == "lz4p":
+        from tpuzip.codecs import lz4p as jlz4p
+
+        return jlz4p.decode_batch(comp, lens, out_n)
     if codec == "rle":
         out, olens = jrle.decode_batch(comp, lens, out_n)
         return out, olens, jnp.zeros_like(olens)
@@ -243,6 +257,10 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         cap = _deflate_cap(block_size)
     elif codec == "rle":
         cap = jrle.encode_cap(block_size)
+    elif codec == "lz4p":
+        from tpuzip.codecs import lz4p as jlz4p
+
+        cap = jlz4p.encode_cap(block_size)
     else:
         cap = jlz4.encode_cap(block_size)
     if off + int(clens.sum()) > len(container):
@@ -301,7 +319,7 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         errs = np.asarray(errs)
         got = np.asarray(olens_dev).astype(np.int64)
         bad = (got[: B] != olens) & (clens > 0)
-        if bad.any() and codec == "lz4":
+        if bad.any() and codec in ("lz4", "lz4p"):
             raise ValueError(f"block length mismatch at {np.nonzero(bad)[0][:8]}")
     if np.asarray(errs).any():
         raise CorruptStreamError(np.nonzero(np.asarray(errs))[0])
