@@ -21,6 +21,14 @@ Decode has NO sequential loop:
 
 Ratio cost vs LZ4: 6 bytes per sequence (3 u16 columns) vs ~3 — the price
 of random-access decode.  Requires block_size <= 65536 (u16 columns).
+
+Measured (v5 lite): decode 2.3 MB/s at B=32x64KiB — NOT faster than the
+sequential-scan decoder (21 MB/s), because v5e gathers run at ~100 M
+elements/s and this formulation still needs ~15 full-array gather passes
+(cover/fill + log-depth root chase).  The lesson (docs/DESIGN.md): on this
+target, data-dependent byte shuffling is gather-bound regardless of
+formulation; lz4p's value is on gather-rich backends and as the
+random-access container format.
 """
 
 from __future__ import annotations
