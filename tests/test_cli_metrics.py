@@ -1,0 +1,44 @@
+import json
+import os
+
+from tpuzip.cli.tpz import main as tpz_main
+from tpuzip.utils.metrics import RunMetrics, device_timer
+
+
+def test_cli_all_subcommands(tmp_path):
+    src = tmp_path / "in.bin"
+    data = b"cli coverage corpus " * 400
+    src.write_bytes(data)
+    comp = tmp_path / "out.tpz"
+    back = tmp_path / "back.bin"
+
+    assert tpz_main(["compress", "-c", "lz4", "-b", "4096",
+                     str(src), str(comp)]) == 0
+    assert tpz_main(["info", str(comp)]) == 0
+    assert tpz_main(["decompress", str(comp), str(back)]) == 0
+    assert back.read_bytes() == data
+    assert tpz_main(["roundtrip", "-c", "rle", "-b", "4096", str(src)]) == 0
+
+
+def test_cli_info_rejects_junk(tmp_path):
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"\x00" * 64)
+    assert tpz_main(["info", str(junk)]) == 1
+
+
+def test_run_metrics_phases():
+    m = RunMetrics()
+    with m.phase("encode", bytes_in=1000, blocks=2):
+        pass
+    with m.phase("encode", bytes_in=500, blocks=1):
+        pass
+    rep = json.loads(m.report())
+    assert rep["encode"]["in"] == 1500
+    assert rep["encode"]["blocks"] == 3
+    assert rep["encode"]["s"] >= 0
+
+
+def test_device_timer():
+    with device_timer() as t:
+        sum(range(1000))
+    assert t["seconds"] >= 0
