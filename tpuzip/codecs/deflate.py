@@ -92,6 +92,9 @@ def decode_block_kernel(bits: jnp.ndarray, start_bit: jnp.ndarray,
     dist_eb = jnp.array(DIST_EXTRA)
     dist_base = jnp.array(DIST_BASE)
 
+    # vmap-critical like the LZ4 loop: no cond/switch ever carries `out`
+    # (they lower to select under vmap, copying the batch buffer per
+    # iteration) — all effects are masked writes and zero-trip chunk loops.
     def step(st):
         bp, op, out, done, err = st
         peek = _peek(bits, bp, LUT_BITS, cap_bits)
@@ -99,51 +102,51 @@ def decode_block_kernel(bits: jnp.ndarray, start_bit: jnp.ndarray,
         nb = e >> 10
         sym = e & 0x3FF
         bad = (nb == 0) | (bp + nb > cap_bits)
-        bp2 = bp + nb
+        bp = bp + nb
+        is_lit = (~bad) & (sym < 256)
+        is_eob = bad | (sym == 256)
+        is_match = (~bad) & (sym > 256)
 
-        def lit(bp, op, out):
-            out = out.at[jnp.clip(op, 0, ocap - 1)].set(sym.astype(jnp.uint8))
-            return bp, op + 1, out, jnp.int32(0)
+        # literal: masked single-byte write (dead write into the slack slot
+        # ocap-1 when not a literal — valid streams never address it)
+        lit_dst = jnp.where(is_lit, jnp.clip(op, 0, ocap - 1), ocap - 1)
+        out = out.at[lit_dst].set(jnp.where(is_lit, sym, 0).astype(jnp.uint8))
+        op = op + is_lit.astype(jnp.int32)
 
-        def eob(bp, op, out):
-            return bp, op, out, jnp.int32(0)
+        # match: all field reads masked; zero-trip copy loop when inactive
+        li = jnp.clip(sym - 257, 0, 28)
+        eb = jnp.where(is_match, len_eb[li], 0)
+        extra = _peek(bits, bp, 5, cap_bits) & ((1 << eb) - 1)
+        bp = bp + eb
+        mlen = jnp.where(is_match, len_base[li] + extra, 0)
+        dpeek = _peek(bits, bp, LUT_BITS, cap_bits)
+        de = lut_dist[dpeek]
+        dnb = jnp.where(is_match, de >> 10, 0)
+        dsym = jnp.clip(de & 0x3FF, 0, 29)
+        bad_d = is_match & (de >> 10 == 0)
+        bp = bp + dnb
+        deb = jnp.where(is_match, dist_eb[dsym], 0)
+        dextra = _peek(bits, bp, 13, cap_bits) & ((1 << deb) - 1)
+        bp = bp + deb
+        dist = dist_base[dsym] + dextra
+        start = op - dist
+        bad2 = bad_d | (is_match & ((start < 0) | (op + mlen > ocap - CH)))
+        do = is_match & ~bad2
+        mlen = jnp.where(do, mlen, 0)
+        safe = jnp.maximum(dist, 1)
+        nch = (mlen + CH - 1) // CH
 
-        def match(bp, op, out):
-            li = jnp.clip(sym - 257, 0, 28)
-            eb = len_eb[li]
-            extra = _peek(bits, bp, 5, cap_bits) & ((1 << eb) - 1)
-            bp = bp + eb
-            mlen = len_base[li] + extra
-            dpeek = _peek(bits, bp, LUT_BITS, cap_bits)
-            de = lut_dist[dpeek]
-            dnb = de >> 10
-            dsym = jnp.clip(de & 0x3FF, 0, 29)
-            bad_d = (dnb == 0)
-            bp = bp + dnb
-            deb = dist_eb[dsym]
-            dextra = _peek(bits, bp, 13, cap_bits) & ((1 << deb) - 1)
-            bp = bp + deb
-            dist = dist_base[dsym] + dextra
-            start = op - dist
-            bad2 = bad_d | (start < 0) | (op + mlen > ocap - CH)
-            safe = jnp.maximum(dist, 1)
-            nch = (mlen + CH - 1) // CH
+        def mb(k, o):
+            m = k * CH + jnp.arange(CH, dtype=jnp.int32)
+            v = o[jnp.clip(start + m % safe, 0, ocap - 1)]
+            return lax.dynamic_update_slice(
+                o, v, (jnp.clip(op + k * CH, 0, ocap - CH),))
 
-            def mb(k, o):
-                m = k * CH + jnp.arange(CH, dtype=jnp.int32)
-                v = o[jnp.clip(start + m % safe, 0, ocap - 1)]
-                return lax.dynamic_update_slice(
-                    o, v, (jnp.clip(op + k * CH, 0, ocap - CH),))
-
-            out = lax.cond(bad2, lambda o: o,
-                           lambda o: lax.fori_loop(0, nch, mb, o), out)
-            return bp, op + jnp.where(bad2, 0, mlen), out, bad2.astype(jnp.int32)
-
-        branch = jnp.where(sym < 256, 0, jnp.where(sym == 256, 1, 2))
-        branch = jnp.where(bad, 1, branch)  # invalid code: no state writes
-        bp3, op, out, berr = lax.switch(branch, [lit, eob, match], bp2, op, out)
-        done = (sym == 256) | bad | (berr == 1)
-        return bp3, op, out, done, err | bad.astype(jnp.int32) | berr
+        out = lax.fori_loop(0, nch, mb, out, unroll=False)
+        op = op + mlen
+        berr = bad2.astype(jnp.int32)
+        done = is_eob | (berr == 1)
+        return bp, op, out, done, err | bad.astype(jnp.int32) | berr
 
     def cond(st):
         _, _, _, done, _ = st
@@ -574,14 +577,67 @@ def deflate_batch(blocks, lengths):
     return out_bytes, comp_lens.astype(jnp.int32)
 
 
+_decode_kernel_vmap = jax.jit(jax.vmap(decode_block_kernel))
+
+
 def inflate_batch(comp_rows, comp_lens, out_n: int):
-    """Inverse of deflate_batch: host header parse + device symbol loops,
-    one block at a time (tables differ per block)."""
+    """Inverse of deflate_batch.
+
+    Fast path: every stream is a single dynamic/fixed deflate block (what
+    deflate_batch emits) — headers+LUTs parse on host per block, then ONE
+    vmapped device symbol loop decodes all blocks in lock-step (the kernel
+    is vmap-safe: no cond/switch carries the output buffer).  Streams with
+    stored blocks or multiple deflate blocks fall back to per-block
+    inflate().
+    """
     b = comp_rows.shape[0]
-    outs = np.zeros((b, out_n), np.uint8)
-    lens = np.zeros(b, np.int32)
     rows = np.asarray(comp_rows)
     cl = np.asarray(comp_lens)
+
+    ocap = out_n + CH + MAX_MATCH
+    cap_bits = rows.shape[1] * 8
+    luts_lit = np.zeros((b, 1 << LUT_BITS), np.int32)
+    luts_dist = np.zeros((b, 1 << LUT_BITS), np.int32)
+    start_bits = np.zeros(b, np.int32)
+    simple = True
+    for i in range(b):
+        data = rows[i, : int(cl[i])].tobytes()
+        if not data:
+            simple = False
+            break
+        br = od.BitReader(data)
+        final = br.bits(1)
+        btype = br.bits(2)
+        if not final or btype not in (1, 2):
+            simple = False
+            break
+        if btype == 1:
+            lit_l = od.fixed_lit_lengths()
+            dist_l = od.fixed_dist_lengths()
+        else:
+            try:
+                lit_dec, dist_dec = od._read_dynamic_header(br)
+            except ValueError:
+                simple = False
+                break
+            lit_l = _decoder_lengths(lit_dec, 288)
+            dist_l = _decoder_lengths(dist_dec, 30)
+        luts_lit[i] = build_lut(lit_l)
+        luts_dist[i] = build_lut(dist_l)
+        start_bits[i] = br.pos * 8 - br.bitcnt
+
+    if simple:
+        bits = jnp.array(np.unpackbits(rows, axis=1, bitorder="little"))
+        out0 = jnp.zeros((b, ocap), jnp.uint8)
+        out, op, bp, err = _decode_kernel_vmap(
+            bits, jnp.array(start_bits), jnp.array(luts_lit),
+            jnp.array(luts_dist), out0, jnp.zeros(b, jnp.int32))
+        if int(np.asarray(err).sum()):
+            raise ValueError("corrupt DEFLATE symbol stream in batch")
+        return np.asarray(out)[:, :out_n], np.asarray(op).astype(np.int32)
+
+    outs = np.zeros((b, out_n), np.uint8)
+    lens = np.zeros(b, np.int32)
     for i in range(b):
         data = rows[i, : int(cl[i])].tobytes()
         out = inflate(data, out_n)
