@@ -71,3 +71,36 @@ def test_top_level_api(rng):
         w.write(data)
     r = tpuzip.open(_io.BytesIO(sink.getvalue()), "rb", format="lz4f")
     assert r.read() == data
+
+
+def test_config3_deflate_1mb_stream_compatible(rng):
+    """Config-3 at scale (CPU-hermetic): every 64 KiB block of a 1 MB
+    text-like corpus deflates to a stream stock zlib accepts, and the
+    batched inflate round-trips it."""
+    import zlib
+
+    import jax.numpy as jnp
+
+    from tpuzip.codecs import deflate as jdef
+    from tpuzip.core import blocks as blk
+
+    words = [b"the", b"of", b"and", b"wikipedia", b"<page>", b"</page>",
+             b"[[link]]", b"category", b"reference", b"2026"]
+    out = bytearray()
+    while len(out) < (1 << 20):
+        out += words[int(rng.integers(len(words)))] + b" "
+    data = bytes(out[: 1 << 20])
+
+    blocks, lens = blk.chunk(data, 1 << 16)
+    comp, clens = jdef.deflate_batch(jnp.array(blocks), jnp.array(lens))
+    comp_np = np.asarray(comp)
+    cl = np.asarray(clens)
+    total = 0
+    for i in range(blocks.shape[0]):
+        s = comp_np[i, : cl[i]].tobytes()
+        assert zlib.decompress(s, wbits=-15) == blocks[i, : lens[i]].tobytes()
+        total += len(s)
+    assert total < len(data) // 2
+    outs, olens = jdef.inflate_batch(comp, clens, 1 << 16)
+    for i in range(blocks.shape[0]):
+        assert outs[i, : lens[i]].tobytes() == blocks[i, : lens[i]].tobytes()
