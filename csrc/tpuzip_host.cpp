@@ -108,7 +108,8 @@ int64_t tpz_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
       }
       int64_t mlen = m - i, lit = i - anchor;
       int64_t ml = mlen - 4;
-      if (o + lit + 16 + lit / 255 > cap) return -1;
+      // worst case: token + lit-ext + literals + offset + match-ext bytes
+      if (o + lit + 16 + lit / 255 + ml / 255 + 1 > cap) return -1;
       dst[o++] = (uint8_t)(((lit < 15 ? lit : 15) << 4) |
                            (ml < 15 ? ml : 15));
       if (lit >= 15) emit_len(lit);

@@ -1,0 +1,81 @@
+"""Real multi-process test of tpuzip.dist.multihost (VERDICT round-1 item 7).
+
+Spawns N jax.distributed-initialized CPU processes on localhost and checks
+that compress_corpus_multihost produces the identical container on every
+process, that the container decodes back to the corpus, and that the ordered
+ragged gather path (process_allgather with ragged per-host block counts and
+host-local padding blocks dropped) is actually exercised with
+process_count > 1.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _corpus(nblocks: int) -> bytes:
+    return bytes((i * 31 + 7) % 256 for i in range(nblocks * 1000))
+
+
+def _run_job(nproc: int, local_devs: int, nblocks: int, tmp_path
+             ) -> list[bytes]:
+    coord = f"127.0.0.1:{_free_port()}"
+    outs = [str(tmp_path / f"container_{p}.tpz") for p in range(nproc)]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo_root = os.path.dirname(os.path.dirname(_WORKER))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coord, str(nproc), str(p),
+             str(local_devs), str(nblocks), outs[p]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(nproc)
+    ]
+    fail = []
+    for p, proc in enumerate(procs):
+        try:
+            _, err = proc.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"multihost worker {p} timed out")
+        if proc.returncode != 0:
+            fail.append(f"worker {p} rc={proc.returncode}:\n"
+                        f"{err.decode(errors='replace')[-2000:]}")
+    assert not fail, "\n".join(fail)
+    return [open(o, "rb").read() for o in outs]
+
+
+def test_two_process_ragged_ranges(tmp_path):
+    # 9 blocks over 2 hosts: host 0 owns ceil(9/2)=5, host 1 owns 4.
+    # 5 is not a multiple of the 2 local devices -> the local runner pads
+    # with a zero-length block whose size/payload entries must be dropped
+    # before the gather (the round-1 interleaving bug).
+    containers = _run_job(2, 2, 9, tmp_path)
+    assert containers[0] == containers[1]
+
+    from tpuzip.dist import runner
+
+    assert runner.decompress(containers[0]) == _corpus(9)
+
+
+def test_three_process_ragged_tail(tmp_path):
+    # 10 blocks over 3 hosts: ranges 4/4/2 — ragged per-host counts force
+    # the padded-table + counts exchange in gather_ragged_payloads.
+    containers = _run_job(3, 2, 10, tmp_path)
+    assert containers[0] == containers[1] == containers[2]
+
+    from tpuzip.dist import runner
+
+    assert runner.decompress(containers[0]) == _corpus(10)

@@ -8,9 +8,10 @@ factored out per chunk:
     sum_i (length - i) * d_i
       = sum_c [ (length - end_c) * chunk_sum_c  +  sum_{i in c} (end_c - i) * d_i ]
 
-with every per-chunk term reduced mod 65521 before the final tree-sum.
-Validated bit-exactly against ``zlib.adler32``.  Valid for blocks up to
-~128 MB (chunk-term sum bound), far above the 100 MB BASELINE block size.
+with every per-chunk term reduced mod 65521 before the final tree-sum, and
+the tree-sum itself re-reduced every 4096 terms so no u32 partial can wrap.
+Validated bit-exactly against ``zlib.adler32``.  Valid for any block size
+the padded-buffer shape allows (the mod-tree keeps partials < 2^28).
 
 Reference parity: rust-compress ``src/checksum/adler.rs`` (same NMAX idea,
 width-parallel instead of loop-carried).
@@ -24,6 +25,18 @@ import jax.numpy as jnp
 MOD = 65521
 # 255 * NMAX * (NMAX+1) / 2 must fit u32  ->  NMAX = 4096 gives 2.14e9. OK.
 NMAX = 4096
+
+
+def _mod_sum(vals: jnp.ndarray) -> jnp.ndarray:
+    """Sum of uint32 values, each < MOD, reduced mod MOD without u32 wrap.
+
+    Groups of 4096 values < 65521 sum to < 2^28; re-reducing between levels
+    keeps every partial in range for arbitrarily many terms."""
+    v = vals
+    while v.size > 4096:
+        pad = (-v.size) % 4096
+        v = jnp.pad(v, (0, pad)).reshape(-1, 4096).sum(axis=1) % MOD
+    return v.sum() % MOD
 
 
 def adler32(block: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
@@ -45,8 +58,9 @@ def adler32(block: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     head = ((length - ends) % MOD).astype(jnp.uint32)      # non-negative mod
     terms = (head * (chunk_sums % MOD)) % MOD              # <= 65520^2 < 2^32
 
-    s1 = (1 + chunk_sums.sum()) % MOD
-    s2 = ((length % MOD).astype(jnp.uint32) + terms.sum() + local.sum()) % MOD
+    s1 = (1 + _mod_sum(chunk_sums % MOD)) % MOD
+    s2 = ((length % MOD).astype(jnp.uint32) + _mod_sum(terms)
+          + _mod_sum(local)) % MOD
     return ((s2 << 16) | s1).astype(jnp.uint32)
 
 

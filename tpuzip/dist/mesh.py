@@ -7,10 +7,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, sp: int = 1) -> Mesh:
+def make_mesh(n_devices: int | None = None, sp: int = 1,
+              devices=None) -> Mesh:
     """('dp', 'sp') mesh: blocks shard over dp; within-block width-parallel
-    stages shard over sp.  sp=1 collapses to pure DP."""
-    devices = jax.devices()
+    stages shard over sp.  sp=1 collapses to pure DP.
+
+    ``devices`` defaults to the global device list; multi-process callers
+    building a host-local mesh must pass ``jax.local_devices()``."""
+    if devices is None:
+        devices = jax.devices()
     n = n_devices or len(devices)
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")

@@ -57,24 +57,33 @@ def gather_ragged_payloads(local_payload: bytes,
 
     Every host contributes (payload bytes, per-block sizes); the result is
     the submission-order concatenation on every host.  Single-process: the
-    identity."""
+    identity.  Per-host block counts may be ragged; local device counts must
+    be homogeneous across hosts (a jax `process_allgather` requirement,
+    matching real TPU pods)."""
     if jax.process_count() == 1:
         return local_payload, local_sizes
     from jax.experimental import multihost_utils
 
-    # exchange sizes first (fixed-width), then the padded payload blobs
-    sizes_all = multihost_utils.process_allgather(
-        np.asarray(local_sizes, np.int64))
+    local_sizes = np.asarray(local_sizes, np.int64)
+    # counts first (hosts own ragged block ranges), then padded size tables,
+    # then padded payload blobs — process_allgather needs equal shapes.
+    counts = multihost_utils.process_allgather(np.int64(local_sizes.size))
+    max_count = int(counts.max())
+    sizes_pad = np.zeros(max_count, np.int64)
+    sizes_pad[: local_sizes.size] = local_sizes
+    sizes_all = multihost_utils.process_allgather(sizes_pad)
     blob_len = np.int64(len(local_payload))
     lens_all = multihost_utils.process_allgather(blob_len)
-    max_len = int(lens_all.max())
+    max_len = max(int(lens_all.max()), 1)
     padded = np.zeros(max_len, np.uint8)
     padded[: len(local_payload)] = np.frombuffer(local_payload, np.uint8)
     blobs = multihost_utils.process_allgather(padded)
+    nproc = jax.process_count()
     out = b"".join(
-        blobs[p, : int(lens_all[p])].tobytes()
-        for p in range(jax.process_count()))
-    return out, sizes_all.reshape(-1)
+        blobs[p, : int(lens_all[p])].tobytes() for p in range(nproc))
+    sizes = np.concatenate(
+        [sizes_all[p, : int(counts[p])] for p in range(nproc)])
+    return out, sizes
 
 
 def compress_corpus_multihost(data: bytes, codec: str = "lz4",
@@ -86,13 +95,15 @@ def compress_corpus_multihost(data: bytes, codec: str = "lz4",
     from tpuzip.core import blocks as blk
     from tpuzip.dist import mesh as meshlib, runner
 
-    mesh = global_mesh()
-    ndp = mesh.shape["dp"]
-    blocks, lengths = blk.chunk_padded(data, block_size, ndp)
+    # chunk WITHOUT global padding: the merged container carries the true
+    # block count (runner.decompress pads to its own mesh), and each host
+    # pads its local range independently (padding truncated before gather).
+    blocks, lengths = blk.chunk(data, block_size)
     B = blocks.shape[0]
     lo, hi = host_block_range(B)
     # local encode of the owned range (padded to local device count)
-    local_mesh = meshlib.make_mesh(len(jax.local_devices()))
+    local_devices = jax.local_devices()
+    local_mesh = meshlib.make_mesh(len(local_devices), devices=local_devices)
     local_data = blk.unchunk(blocks[lo:hi], lengths[lo:hi])
     local_container = runner.compress(local_data, codec=codec,
                                       block_size=block_size, mesh=local_mesh)
@@ -100,9 +111,16 @@ def compress_corpus_multihost(data: bytes, codec: str = "lz4",
     # header = 4 magic + 1 codec + 1 flags + IIQI(20) = 26 bytes
     (_, local_b) = struct.unpack_from("<II", local_container, 6)
     off = 26 + 4 * local_b
-    local_sizes = np.frombuffer(local_container, np.uint32, local_b, 26)
+    local_sizes = np.frombuffer(
+        local_container, np.uint32, local_b, 26).astype(np.int64)
+    # the local runner pads its block range to the local device count;
+    # padding blocks (and their payload bytes) must NOT leak into the merged
+    # stream — keep only the hi-lo real blocks (padding sits at the tail).
+    real = hi - lo
+    local_sizes = local_sizes[:real]
+    payload_len = int(local_sizes.sum())
     payload, sizes = gather_ragged_payloads(
-        local_container[off:], local_sizes.astype(np.int64))
+        local_container[off : off + payload_len], local_sizes)
     hdr = bytearray(runner.MAGIC)
     hdr.append(runner.CODECS[codec])
     hdr.append(0)

@@ -249,6 +249,13 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         rem -= olens[i]
 
     mesh = mesh or meshlib.make_mesh()
+    # pad the batch to the mesh dp width (containers merged from multi-host
+    # runs carry the true block count, which need not divide the mesh)
+    ndp = mesh.shape["dp"]
+    Bp = blk.pad_to_multiple(B, ndp)
+    if Bp != B:
+        clens = np.concatenate([clens, np.zeros(Bp - B, np.int64)])
+        olens = np.concatenate([olens, np.zeros(Bp - B, np.int64)])
     if codec in ("ari", "bwt"):
         cap = jari.encode_cap(block_size)
     elif codec == "bwtdc":
@@ -268,7 +275,7 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
             "container truncated: payload shorter than length table claims")
     if (clens > cap).any():
         raise BlockLengthError("declared block length exceeds codec bound")
-    comp = np.zeros((B, cap), np.uint8)
+    comp = np.zeros((Bp, cap), np.uint8)
     pos = 0
     for i in range(B):
         n = int(clens[i])
@@ -290,7 +297,7 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
 
         out_np, got = jdef.inflate_batch(jc, jl, block_size)
         errs = np.zeros(B)
-        bad = (got[:B].astype(np.int64) != olens) & (clens > 0)
+        bad = (got[:B].astype(np.int64) != olens[:B]) & (clens[:B] > 0)
         if bad.any():
             raise ValueError(
                 f"deflate length mismatch at {np.nonzero(bad)[0][:8]}")
@@ -318,7 +325,7 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         out_np = np.asarray(out)
         errs = np.asarray(errs)
         got = np.asarray(olens_dev).astype(np.int64)
-        bad = (got[: B] != olens) & (clens > 0)
+        bad = (got[:B] != olens[:B]) & (clens[:B] > 0)
         if bad.any() and codec in ("lz4", "lz4p"):
             raise ValueError(f"block length mismatch at {np.nonzero(bad)[0][:8]}")
     if np.asarray(errs).any():
@@ -329,7 +336,7 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         got_sums = np.asarray(jax.jit(adler32_batch)(
             jnp.array(out_np[:, :block_size]),
             jnp.array(olens.astype(np.int32))))
-        bad = np.nonzero(got_sums != block_sums)[0]
+        bad = np.nonzero(got_sums[:B] != block_sums)[0]
         if bad.size:
             raise CorruptStreamError(bad)
     data = b"".join(out_np[i, : olens[i]].tobytes() for i in range(B))

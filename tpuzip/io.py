@@ -113,7 +113,9 @@ class Lz4FrameReader:
         from tpuzip.oracle.lz4 import MAGIC, _BD_MAX_SIZES
 
         self.inner = inner
-        hdr = inner.read(7)
+        # field-by-field header parse (spec order: magic, FLG, BD,
+        # [content size if FLG bit3], [dictID if FLG bit0], HC)
+        hdr = inner.read(6)
         (magic,) = struct.unpack_from("<I", hdr, 0)
         if magic != MAGIC:
             raise ValueError("bad LZ4 frame magic")
@@ -122,7 +124,10 @@ class Lz4FrameReader:
             raise ValueError("unsupported frame version")
         self.content_checksum = bool((flg >> 2) & 1)
         if (flg >> 3) & 1:
-            inner.read(8)
+            inner.read(8)  # content size (informational)
+        if flg & 1:
+            inner.read(4)  # dictID — external dictionaries unsupported
+        inner.read(1)  # header checksum byte
         self.block_max = _BD_MAX_SIZES[(bd >> 4) & 7]
         self.pending = bytearray()
         self.done = False

@@ -135,6 +135,8 @@ def decompress_block(src: bytes, max_out: int | None = None) -> bytes:
                     break
         out += src[i : i + lit_len]
         i += lit_len
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("LZ4 block output exceeds limit")
         if i >= n:
             break  # last sequence is literals-only
         offset = src[i] | (src[i + 1] << 8)
