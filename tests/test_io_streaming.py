@@ -81,3 +81,88 @@ def test_nested_composition():
     # unwrap: zlib -> lz4 frame -> plaintext
     lvl1 = zlib.decompress(inner.getvalue())
     assert olz4.decompress_frame(lvl1) == s
+
+
+# ---------------------------------------------------------------------------
+# Framed block-codec adapters (L4 Encoder<W>/Decoder<R> surface for
+# ari/bwt/rle/mtf/dc — SURVEY.md §1 L4, VERDICT round-1 item 9)
+# ---------------------------------------------------------------------------
+
+import tpuzip
+from tpuzip.io import CodecReader, CodecWriter
+
+
+@pytest.mark.parametrize("codec", ["ari", "bwt", "rle", "mtf", "dc"])
+def test_codec_stream_roundtrip(codec, samples):
+    for s in samples:
+        if len(s) > 40000:
+            continue
+        sink = io.BytesIO()
+        with CodecWriter(sink, codec, block_size=1 << 13) as w:
+            for i in range(0, len(s), 701):
+                w.write(s[i : i + 701])
+        r = CodecReader(io.BytesIO(sink.getvalue()), codec)
+        assert r.read() == s
+
+
+def test_codec_stream_incremental_read():
+    s = bytes(np.random.default_rng(3).integers(0, 64, 20000, dtype=np.uint8))
+    sink = io.BytesIO()
+    with CodecWriter(sink, "ari", block_size=4096) as w:
+        w.write(s)
+    r = CodecReader(io.BytesIO(sink.getvalue()), "ari")
+    got = bytearray()
+    while True:
+        piece = r.read(997)
+        if not piece:
+            break
+        got += piece
+    assert bytes(got) == s
+
+
+def test_codec_stream_nesting_ari_over_bwt():
+    """ari::ByteEncoder over bwt::Encoder, the reference's composition idiom
+    (SURVEY.md:107)."""
+    s = (b"banana banana banana " * 800)[:16000]
+    inner = io.BytesIO()
+    bw = CodecWriter(inner, "bwt", block_size=1 << 12)
+    with CodecWriter(bw, "ari", block_size=1 << 12) as aw:
+        aw.write(s)
+    bw.close()
+    # unwrap: bwt -> ari-framed stream -> plaintext
+    lvl1 = CodecReader(io.BytesIO(inner.getvalue()), "bwt").read()
+    assert CodecReader(io.BytesIO(lvl1), "ari").read() == s
+
+
+def test_codec_stream_mtf_over_bwt_over_rle():
+    s = b"abracadabra" * 900
+    inner = io.BytesIO()
+    rw = CodecWriter(inner, "rle", block_size=1 << 12)
+    bw = CodecWriter(rw, "bwt", block_size=1 << 12)
+    with CodecWriter(bw, "mtf", block_size=1 << 12) as mw:
+        mw.write(s)
+    bw.close()
+    rw.close()
+    lvl1 = CodecReader(io.BytesIO(inner.getvalue()), "rle").read()
+    lvl2 = CodecReader(io.BytesIO(lvl1), "bwt").read()
+    assert CodecReader(io.BytesIO(lvl2), "mtf").read() == s
+
+
+def test_codec_stream_via_open():
+    s = b"open api " * 1000
+    for codec in ("ari", "bwt", "rle", "mtf", "dc"):
+        sink = io.BytesIO()
+        with tpuzip.open(sink, "wb", format=codec) as w:
+            w.write(s)
+        assert tpuzip.open(io.BytesIO(sink.getvalue()), "rb",
+                           format=codec).read() == s
+
+
+def test_codec_stream_truncation_detected():
+    s = b"truncate me " * 500
+    sink = io.BytesIO()
+    with CodecWriter(sink, "ari") as w:
+        w.write(s)
+    data = sink.getvalue()
+    with pytest.raises(ValueError, match="truncated"):
+        CodecReader(io.BytesIO(data[: len(data) // 2]), "ari").read()

@@ -46,4 +46,7 @@ def open(file, mode: str = "rb", format: str = "lz4f", **kw):  # noqa: A001
     if format == "zlib":
         return tio.ZlibWriter(file, **kw) if "w" in mode \
             else tio.ZlibReader(file)
+    if format in tio.STREAM_CODECS:
+        return tio.CodecWriter(file, format, **kw) if "w" in mode \
+            else tio.CodecReader(file, format)
     raise ValueError(f"unknown streaming format {format!r}")

@@ -20,7 +20,8 @@ import struct
 
 from tpuzip.oracle.xxh32 import Xxh32State, xxh32
 
-__all__ = ["Lz4FrameWriter", "Lz4FrameReader", "ZlibWriter", "ZlibReader"]
+__all__ = ["Lz4FrameWriter", "Lz4FrameReader", "ZlibWriter", "ZlibReader",
+           "CodecWriter", "CodecReader", "STREAM_CODECS"]
 
 
 class _WriterBase:
@@ -252,6 +253,186 @@ class ZlibWriter(_WriterBase):
         self.inner.write(bytes(out))
         self.inner.write(struct.pack(">I", self.adler.result()))
         self.closed = True
+
+
+# ---------------------------------------------------------------------------
+# Generic framed block-codec adapters — the rest of the reference's L4
+# surface (ari ByteEncoder/ByteDecoder, bwt/rle/mtf/dc Encoder<W>/Decoder<R>,
+# SURVEY.md §1 L4).  The reference nests readers/writers per codec; these
+# adapters do the same over any binary stream, with a framework-defined block
+# framing (the upstream per-codec stream formats are unverifiable — mount
+# empty, SURVEY.md provenance note):
+#
+#   per block:  [comp_len u32 LE][orig_len u32 LE][payload]
+#   end mark:   comp_len == 0
+#
+# Payloads are the bit-exact oracle formats: ari = oracle.ari.encode_bytes,
+# bwt = origin u32 LE + last column, rle/mtf/dc = the oracle streams.
+# Composition = nesting, e.g. CodecWriter(CodecWriter(f, "bwt"), "ari").
+# ---------------------------------------------------------------------------
+
+
+def _ari_enc(chunk: bytes) -> bytes:
+    from tpuzip.oracle import ari as oari
+
+    return oari.encode_bytes(chunk)
+
+
+def _ari_dec(payload: bytes, orig_len: int) -> bytes:
+    from tpuzip.oracle import ari as oari
+
+    return oari.decode_bytes(payload, orig_len)
+
+
+def _bwt_enc(chunk: bytes) -> bytes:
+    from tpuzip.oracle import bwt as obwt
+
+    last, origin = obwt.encode_block(chunk)
+    return struct.pack("<I", origin) + last
+
+
+def _bwt_dec(payload: bytes, orig_len: int) -> bytes:
+    from tpuzip.oracle import bwt as obwt
+
+    (origin,) = struct.unpack_from("<I", payload, 0)
+    return obwt.decode_block_fast(payload[4:], origin)
+
+
+def _rle_enc(chunk: bytes) -> bytes:
+    from tpuzip.oracle import rle as orle
+
+    return orle.encode(chunk)
+
+
+def _rle_dec(payload: bytes, orig_len: int) -> bytes:
+    from tpuzip.oracle import rle as orle
+
+    return orle.decode(payload)
+
+
+def _mtf_enc(chunk: bytes) -> bytes:
+    from tpuzip.oracle import mtf as omtf
+
+    return omtf.encode(chunk)
+
+
+def _mtf_dec(payload: bytes, orig_len: int) -> bytes:
+    from tpuzip.oracle import mtf as omtf
+
+    return omtf.decode(payload)
+
+
+def _dc_enc(chunk: bytes) -> bytes:
+    from tpuzip.oracle import dc as odc
+
+    return odc.encode(chunk)
+
+
+def _dc_dec(payload: bytes, orig_len: int) -> bytes:
+    from tpuzip.oracle import dc as odc
+
+    return odc.decode(payload)
+
+
+STREAM_CODECS = {
+    "ari": (_ari_enc, _ari_dec),
+    "bwt": (_bwt_enc, _bwt_dec),
+    "rle": (_rle_enc, _rle_dec),
+    "mtf": (_mtf_enc, _mtf_dec),
+    "dc": (_dc_enc, _dc_dec),
+}
+
+
+class CodecWriter(_WriterBase):
+    """Framed streaming encoder for any block codec (L4 Encoder<W> parity)."""
+
+    def __init__(self, inner, codec: str, block_size: int = 1 << 16):
+        super().__init__(inner)
+        if codec not in STREAM_CODECS:
+            raise ValueError(f"unknown streaming codec {codec!r}")
+        self.codec = codec
+        self.block_size = block_size
+        self.buf = bytearray()
+
+    def write(self, data: bytes) -> int:
+        self.buf += data
+        while len(self.buf) >= self.block_size:
+            self._emit(bytes(self.buf[: self.block_size]))
+            del self.buf[: self.block_size]
+        return len(data)
+
+    def _emit(self, chunk: bytes) -> None:
+        payload = STREAM_CODECS[self.codec][0](chunk)
+        self.inner.write(struct.pack("<II", len(payload), len(chunk)))
+        self.inner.write(payload)
+
+    def flush(self) -> None:
+        if self.buf:
+            self._emit(bytes(self.buf))
+            self.buf.clear()
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        self.flush()
+        # end mark only; the inner stream stays open (parity with the
+        # reference's finish() returning the inner writer)
+        self.inner.write(struct.pack("<I", 0))
+        self.closed = True
+
+
+class CodecReader:
+    """Framed streaming decoder (L4 Decoder<R> parity)."""
+
+    def __init__(self, inner, codec: str):
+        if codec not in STREAM_CODECS:
+            raise ValueError(f"unknown streaming codec {codec!r}")
+        self.inner = inner
+        self.codec = codec
+        self.pending = bytearray()
+        self.done = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    def readable(self) -> bool:
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        while not self.done and (n < 0 or len(self.pending) < n):
+            self._pull()
+        if n < 0:
+            out = bytes(self.pending)
+            self.pending.clear()
+        else:
+            out = bytes(self.pending[:n])
+            del self.pending[:n]
+        return out
+
+    def _pull(self) -> None:
+        hdr = self.inner.read(4)
+        if len(hdr) < 4:
+            raise ValueError("truncated codec stream")
+        (clen,) = struct.unpack("<I", hdr)
+        if clen == 0:
+            self.done = True
+            return
+        hdr2 = self.inner.read(4)
+        if len(hdr2) < 4:
+            raise ValueError("truncated codec stream header")
+        (olen,) = struct.unpack("<I", hdr2)
+        payload = self.inner.read(clen)
+        if len(payload) < clen:
+            raise ValueError("truncated codec stream payload")
+        out = STREAM_CODECS[self.codec][1](payload, olen)
+        if len(out) != olen:
+            raise ValueError(
+                f"{self.codec} block decoded to {len(out)} bytes, "
+                f"header says {olen}")
+        self.pending += out
 
 
 class ZlibReader:
