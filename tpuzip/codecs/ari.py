@@ -51,6 +51,16 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
            increment: int = 8, threshold: int = 1 << 13,
            cap: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """block (N,) u8 -> (out (cap,) u8, out_len i32). Bit-exact vs oracle."""
+    out, out_len, _ = encode_with_counts(block, length, increment,
+                                         threshold, cap)
+    return out, out_len
+
+
+def encode_with_counts(block: jnp.ndarray, length: jnp.ndarray,
+                       increment: int = 8, threshold: int = 1 << 13,
+                       cap: int | None = None):
+    """encode + per-symbol renorm byte counts (N,) i32 — the raw material
+    of the fast-decode chunk index (kernels/range_decoder.py)."""
     n = block.shape[0]
     cap = cap or encode_cap(n)
     length = jnp.asarray(length, jnp.int32)
@@ -93,9 +103,10 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
                       (low >> 8).astype(jnp.uint8),
                       low.astype(jnp.uint8)])
     chunks = jnp.concatenate([bytes4, tail[None, :]], axis=0)
-    lens = jnp.concatenate([emits4.sum(axis=1).astype(jnp.int32),
-                            jnp.array([4], jnp.int32)])
-    return pack_bytes_varlen(chunks, lens, cap)
+    counts = emits4.sum(axis=1).astype(jnp.int32)
+    lens = jnp.concatenate([counts, jnp.array([4], jnp.int32)])
+    out, out_len = pack_bytes_varlen(chunks, lens, cap)
+    return out, out_len, counts
 
 
 def decode(comp: jnp.ndarray, num_bytes: jnp.ndarray, out_n: int,
@@ -159,4 +170,5 @@ def decode(comp: jnp.ndarray, num_bytes: jnp.ndarray, out_n: int,
 
 
 encode_batch = jax.vmap(encode, in_axes=(0, 0))
+encode_batch_with_counts = jax.vmap(encode_with_counts, in_axes=(0, 0))
 decode_batch = jax.vmap(decode, in_axes=(0, 0, None))

@@ -627,7 +627,13 @@ def inflate_batch(comp_rows, comp_lens, out_n: int):
         start_bits[i] = br.pos * 8 - br.bitcnt
 
     if simple:
-        bits = jnp.array(np.unpackbits(rows, axis=1, bitorder="little"))
+        # expand bits ON DEVICE from the (possibly already device-resident)
+        # comp rows — an 8x-larger host bit array would otherwise cross the
+        # host->device link and dominate decode time
+        jrows = jnp.asarray(comp_rows)
+        bits = jnp.reshape(
+            (jrows[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)[None, None])
+            & 1, (b, -1))
         out0 = jnp.zeros((b, ocap), jnp.uint8)
         out, op, bp, err = _decode_kernel_vmap(
             bits, jnp.array(start_bits), jnp.array(luts_lit),

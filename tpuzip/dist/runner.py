@@ -129,6 +129,212 @@ def _ari_encode_auto(blocks, lengths):
     return jax.jit(jari.encode_batch)(blocks, lengths)
 
 
+def _ari_encode_indexed(blocks, lengths):
+    """ari encode + fast-decode chunk index (VERDICT r1 item 1).
+
+    Returns (comp (B, cap) u8, clens (B,) i64-able, deltas (B, NC) i32)
+    where NC = ceil-padded chunk count; deltas feed the Pallas lane
+    decoder.  Pallas kernel on TPU in 128-lane groups, XLA scan elsewhere
+    (both emit identical oracle streams AND identical indexes)."""
+    from tpuzip.kernels import range_decoder as rdk
+
+    b, n = blocks.shape
+    cs = rdk.CHUNK_STEPS
+    if jax.devices()[0].platform == "tpu" and n % 256 == 0:
+        from tpuzip.kernels.range_coder import (
+            LANES, ari_encode_lanes_packed_indexed)
+
+        cap = jari.encode_cap(n)
+        comp = np.zeros((b, cap), np.uint8)
+        clens = np.zeros(b, np.int64)
+        deltas = np.zeros((b, n // cs), np.int32)
+        for g in range(0, b, LANES):
+            grp = blocks[g : g + LANES]
+            gb = grp.shape[0]
+            x = jnp.zeros((n, LANES), jnp.uint8).at[:, :gb].set(
+                jnp.transpose(grp))
+            lens = jnp.zeros(LANES, jnp.int32).at[:gb].set(
+                lengths[g : g + LANES])
+            streams, slens, dts = ari_encode_lanes_packed_indexed(x, lens)
+            w = min(streams.shape[1], cap)
+            comp[g : g + gb, :w] = np.asarray(streams[:gb, :w])
+            clens[g : g + gb] = np.asarray(slens[:gb])
+            deltas[g : g + gb] = np.asarray(dts).T[:gb]
+        return comp, clens, deltas
+    comp, clens, counts = jax.jit(jari.encode_batch_with_counts)(
+        blocks, lengths)
+    counts = np.asarray(counts)
+    pad = (-counts.shape[1]) % cs
+    if pad:
+        counts = np.pad(counts, ((0, 0), (0, pad)))
+    deltas = counts.reshape(b, -1, cs).sum(axis=2).astype(np.int32)
+    return np.asarray(comp), np.asarray(clens).astype(np.int64), deltas
+
+
+def _mtf_encode_auto(L, lengths, decode=False):
+    """MTF over a (B, N) batch: 272 MB/s Pallas lane kernel on TPU, XLA
+    scan elsewhere.  The kernel has no length masking, but MTF output at
+    position t never depends on later inputs, so positions < length match
+    the masked scan exactly."""
+    if jax.devices()[0].platform == "tpu":
+        from tpuzip.kernels import mtf_scan
+
+        return mtf_scan.mtf_batch(L, decode=decode)
+    fn = jmtf.decode_batch if decode else jmtf.encode_batch
+    return jax.jit(fn)(L, lengths)
+
+
+def _pow2_bucket(m: int, lo: int, hi: int) -> int:
+    """Smallest power-of-two multiple of 256 in [lo, hi] covering m (keeps
+    the jit cache small when ari symbol counts vary per batch)."""
+    b = lo
+    while b < m and b < hi:
+        b *= 2
+    return min(max(b, lo), hi)
+
+
+def _encode_ari_family(codec: str, jb, jl, lengths) -> list[bytes]:
+    """Staged batch pipeline for the ari-backed codecs (VERDICT r1 items
+    1+2): BWT (batched XLA sort) -> MTF/DC -> Pallas ari encoder, with the
+    fast-decode chunk index.  Per-block payloads:
+
+      ari:   [u32 idx_len][chunk index][ari stream]
+      bwt:   [u32 origin][u32 idx_len][idx][stream]   (stream = ari(mtf(L)))
+      bwtdc: [u32 origin][u32 dc_len][u32 idx_len][idx][stream]
+    """
+    from tpuzip.kernels import range_decoder as rdk
+
+    cs = rdk.CHUNK_STEPS
+    B = jb.shape[0]
+    if codec == "ari":
+        syms, sym_lens = jb, jl
+        heads = [b""] * B
+    elif codec == "bwt":
+        L, origins = jax.jit(jbwt.encode_batch)(jb, jl)
+        syms = _mtf_encode_auto(L, jl)
+        sym_lens = jl
+        origins_np = np.asarray(origins)
+        heads = [struct.pack("<I", int(origins_np[i])) for i in range(B)]
+    elif codec == "bwtdc":
+        L, origins = jax.jit(jbwt.encode_batch)(jb, jl)
+        dcomp, dlens = jax.jit(jdc.encode_batch)(L, jl)
+        dlens_np = np.asarray(dlens).astype(np.int64)
+        # bucket the ari width so the kernel does ~max(dlen) work, not the
+        # 5x worst-case dc cap
+        width = _pow2_bucket(int(dlens_np.max(initial=1)), 256,
+                             dcomp.shape[1])
+        syms = dcomp[:, :width]
+        sym_lens = dlens
+        origins_np = np.asarray(origins)
+        heads = [struct.pack("<II", int(origins_np[i]), int(dlens_np[i]))
+                 for i in range(B)]
+    else:
+        raise ValueError(codec)
+    comp_np, slens_np, deltas = _ari_encode_indexed(syms, sym_lens)
+    sym_lens_np = np.asarray(sym_lens).astype(np.int64)
+    blobs = []
+    for i in range(B):
+        nci = (int(sym_lens_np[i]) + cs - 1) // cs
+        idx = rdk.pack_chunk_index(deltas[i, :nci])
+        blobs.append(heads[i] + struct.pack("<I", len(idx)) + idx
+                     + comp_np[i, : slens_np[i]].tobytes())
+    return blobs
+
+
+def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
+                       olens: np.ndarray, block_size: int, B: int
+                       ) -> np.ndarray:
+    """Decode the flag-bit-1 staged payloads: Pallas ari decoder (TPU) or
+    XLA scan, then MTF/DC + inverse BWT."""
+    from tpuzip.kernels import range_decoder as rdk
+
+    head = {"ari": 0, "bwt": 4, "bwtdc": 8}[codec]
+    Bp = comp.shape[0]
+    origins = np.zeros(Bp, np.int32)
+    dlens = np.zeros(Bp, np.int64)
+    for i in range(B):
+        if clens[i] == 0:
+            continue
+        if clens[i] < head + 4:
+            raise BlockLengthError(f"{codec} block {i} shorter than header")
+        if codec == "bwt":
+            (origins[i],) = struct.unpack_from("<I", comp[i].tobytes(), 0)
+        elif codec == "bwtdc":
+            origins[i], dlens[i] = struct.unpack_from(
+                "<II", comp[i].tobytes(), 0)
+    if codec == "bwtdc":
+        sym_lens = dlens
+        width = _pow2_bucket(int(dlens.max(initial=1)), 256,
+                             jdc.encode_cap(block_size))
+    else:
+        sym_lens = olens
+        width = block_size
+    syms = _ari_decode_indexed(comp[:, head:], np.maximum(clens - head, 0),
+                               sym_lens, width,
+                               (width + rdk.CHUNK_STEPS - 1)
+                               // rdk.CHUNK_STEPS, B)
+    if codec == "ari":
+        return syms
+    jsyms = jnp.array(syms)
+    if codec == "bwt":
+        jl = jnp.array(olens.astype(np.int32))
+        L = _mtf_encode_auto(jsyms, jl, decode=True)
+        out = jax.jit(jbwt.decode_batch)(L, jnp.array(origins),
+                                         jl.astype(jnp.int32))
+        return np.asarray(out)
+    # bwtdc
+    jdl = jnp.array(dlens.astype(np.int32))
+    jl = jnp.array(olens.astype(np.int32))
+    L, _, errs = jax.jit(jdc.decode_batch, static_argnums=2)(
+        jsyms, jdl, block_size)
+    if np.asarray(errs)[:B].any():
+        raise CorruptStreamError(np.nonzero(np.asarray(errs)[:B])[0])
+    out = jax.jit(jbwt.decode_batch)(L, jnp.array(origins), jl)
+    return np.asarray(out)
+
+
+def _ari_decode_indexed(comp: np.ndarray, clens: np.ndarray,
+                        olens: np.ndarray, block_size: int, nc_full: int,
+                        B: int) -> np.ndarray:
+    """Decode flag-bit-1 ari payloads ([u32 idx_len][chunk index][stream]).
+
+    TPU: Pallas lane decoder in 128-block groups (kernels/range_decoder);
+    elsewhere: the XLA scan decoder on the extracted streams."""
+    from tpuzip.kernels import range_decoder as rdk
+
+    Bp = comp.shape[0]
+    cap_s = jari.encode_cap(block_size)
+    streams = np.zeros((Bp, cap_s), np.uint8)
+    deltas = np.zeros((Bp, nc_full), np.int32)
+    for i in range(B):
+        if clens[i] < 4:
+            if clens[i] != 0:
+                raise BlockLengthError(f"ari block {i} shorter than header")
+            continue
+        (idxlen,) = struct.unpack_from("<I", comp[i, :4].tobytes())
+        if 4 + idxlen > clens[i]:
+            raise BlockLengthError(f"ari block {i}: index overruns payload")
+        nci = (int(olens[i]) + rdk.CHUNK_STEPS - 1) // rdk.CHUNK_STEPS
+        try:
+            deltas[i, :nci] = rdk.parse_chunk_index(
+                comp[i, 4 : 4 + idxlen].tobytes(), nci)
+        except ValueError as e:
+            raise CorruptStreamError([i]) from e
+        slen = int(clens[i]) - 4 - idxlen
+        streams[i, :slen] = comp[i, 4 + idxlen : int(clens[i])]
+    if jax.devices()[0].platform == "tpu":
+        out = np.zeros((Bp, block_size), np.uint8)
+        L = rdk.LANES
+        for g in range(0, B, L):
+            gb = min(L, B - g)
+            out[g : g + gb] = np.asarray(rdk.ari_decode_batch_kernel(
+                jnp.array(streams[g : g + gb]), deltas[g : g + gb],
+                jnp.array(olens[g : g + gb].astype(np.int32)), block_size))
+        return out
+    return np.asarray(jax.jit(jari.decode_batch, static_argnums=2)(
+        jnp.array(streams), jnp.array(olens.astype(np.int32)), block_size))
+
+
 def _deflate_cap(n):
     return 2 * n + 2048
 
@@ -190,19 +396,31 @@ def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
     lsharding = meshlib.length_sharding(mesh)
     jb = jax.device_put(jnp.array(blocks), sharding)
     jl = jax.device_put(jnp.array(lengths), lsharding)
-    if codec in ("deflate", "ari"):
-        # host dispatch inside (Huffman stage / Pallas-vs-XLA choice);
-        # the device stages jit themselves
+    flags = 1 if block_checksums else 0
+    if codec in ("ari", "bwt", "bwtdc"):
+        # staged pipeline with the fast-decode chunk index (flag bit 1)
+        blobs = _encode_ari_family(codec, jb, jl, lengths)
+        clens_np = np.array([len(p) for p in blobs], np.int64)
+        payload = b"".join(blobs)
+        flags |= 2
+    elif codec == "deflate":
+        # host dispatch inside (Huffman stage); device stages jit themselves
         comp, clens = enc(jb, jl)
+        comp_np = np.asarray(comp)
+        clens_np = np.asarray(clens).astype(np.int64)
+        payload = b"".join(
+            comp_np[i, : clens_np[i]].tobytes() for i in range(B))
     else:
         comp, clens = jax.jit(enc)(jb, jl)
-    comp_np = np.asarray(comp)
-    clens_np = np.asarray(clens).astype(np.int64)
+        comp_np = np.asarray(comp)
+        clens_np = np.asarray(clens).astype(np.int64)
+        payload = b"".join(
+            comp_np[i, : clens_np[i]].tobytes() for i in range(B))
     a32 = corpus_adler32(data)
 
     hdr = bytearray(MAGIC)
     hdr.append(CODECS[codec])
-    hdr.append(1 if block_checksums else 0)
+    hdr.append(flags)
     hdr += struct.pack("<IIQI", block_size, B, len(data), a32)
     for i in range(B):
         hdr += struct.pack("<I", int(clens_np[i]))
@@ -212,8 +430,6 @@ def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
         bsums = np.asarray(jax.jit(adler32_batch)(jb, jl))
         for i in range(B):
             hdr += struct.pack("<I", int(bsums[i]))
-    payload = b"".join(
-        comp_np[i, : clens_np[i]].tobytes() for i in range(B))
     # per-block original lengths are implied by block_size + orig_len,
     # EXCEPT for ari which decodes by symbol count — same implication works.
     return bytes(hdr) + payload
@@ -256,7 +472,15 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     if Bp != B:
         clens = np.concatenate([clens, np.zeros(Bp - B, np.int64)])
         olens = np.concatenate([olens, np.zeros(Bp - B, np.int64)])
-    if codec in ("ari", "bwt"):
+    if codec in ("ari", "bwt", "bwtdc") and flags & 2:
+        from tpuzip.kernels import range_decoder as rdk
+
+        head = {"ari": 0, "bwt": 4, "bwtdc": 8}[codec]
+        width = block_size if codec != "bwtdc" \
+            else jdc.encode_cap(block_size)
+        nc_full = (width + rdk.CHUNK_STEPS - 1) // rdk.CHUNK_STEPS
+        cap = head + 4 + 3 * nc_full + jari.encode_cap(width)
+    elif codec in ("ari", "bwt"):
         cap = jari.encode_cap(block_size)
     elif codec == "bwtdc":
         cap = jari.encode_cap(jdc.encode_cap(block_size))
@@ -286,7 +510,11 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     lsharding = meshlib.length_sharding(mesh)
     jc = jax.device_put(jnp.array(comp), sharding)
     jl = jax.device_put(jnp.array(clens.astype(np.int32)), lsharding)
-    if codec == "ari":
+    if codec in ("ari", "bwt", "bwtdc") and flags & 2:
+        out_np = _decode_ari_family(codec, comp, clens, olens,
+                                    block_size, B)
+        errs = np.zeros(B)
+    elif codec == "ari":
         out = jax.jit(jari.decode_batch, static_argnums=2)(
             jc, jax.device_put(jnp.array(olens.astype(np.int32)), lsharding),
             block_size)

@@ -202,11 +202,33 @@ def ari_encode_batch_kernel(blocks: jnp.ndarray, lengths: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("increment", "threshold"))
+def ari_encode_lanes_packed_indexed(x: jnp.ndarray, lens: jnp.ndarray,
+                                    increment: int = 8,
+                                    threshold: int = 1 << 13):
+    """ari_encode_lanes_packed + the per-chunk byte-consumption index the
+    Pallas decoder needs (kernels/range_decoder.py): returns
+    (streams (128, CAP) u8, stream_lens (128,) i32, deltas (NC, 128) i32)
+    where deltas[k, l] = renorm bytes emitted by lane l during chunk k
+    (CHUNK_STEPS symbols)."""
+    from tpuzip.kernels.range_decoder import chunk_deltas
+
+    streams, slens, counts = _encode_lanes_packed_core(
+        x, lens, increment, threshold)
+    return streams, slens, chunk_deltas(counts)
+
+
+@functools.partial(jax.jit, static_argnames=("increment", "threshold"))
 def ari_encode_lanes_packed(x: jnp.ndarray, lens: jnp.ndarray,
                             increment: int = 8, threshold: int = 1 << 13):
     """Kernel + ON-DEVICE compaction: returns (streams (128, CAP) u8,
     stream_lens (128,) i32) — each row a complete oracle-format ari stream
     (renorm bytes + the 4 finish bytes).  No host round-trips."""
+    streams, slens, _ = _encode_lanes_packed_core(x, lens, increment,
+                                                  threshold)
+    return streams, slens
+
+
+def _encode_lanes_packed_core(x, lens, increment, threshold):
     n, lanes = x.shape
     bytes_, counts, state = ari_encode_lanes(x, lens, increment, threshold)
     cap = 2 * n + 64
@@ -229,4 +251,4 @@ def ari_encode_lanes_packed(x: jnp.ndarray, lens: jnp.ndarray,
     tpos = (totals[None, :] + jnp.arange(4, dtype=jnp.int32)[:, None]) \
         * lanes + lane2
     out = out.at[tpos.reshape(-1)].set(tail.reshape(-1), mode="drop")
-    return jnp.transpose(out.reshape(cap, lanes)), totals + 4
+    return jnp.transpose(out.reshape(cap, lanes)), totals + 4, counts

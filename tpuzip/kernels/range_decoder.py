@@ -1,0 +1,412 @@
+"""Lane-parallel adaptive range DECODER — Pallas TPU kernel.
+
+Counterpart of kernels/range_coder.py (reference parity: the Decoder /
+find_value half of src/entropy/ari/mod.rs+table.rs): 128 independent ari
+streams advance one symbol per VPU step; coder state (low/range/code u32,
+adaptive freq table (256,128) f32, total) lives in VMEM scratch across grid
+steps.  Format is bit-exact tpuzip.oracle.ari.
+
+The decode-side problem the encoder does not have is the per-lane byte
+PULL: each lane consumes 0..4 stream bytes per symbol at a data-dependent
+position, and Mosaic has no per-lane dynamic gather.  Solution (co-designed
+with the tpz container): the ENCODER records a chunk index — the stream
+byte position every CHUNK_STEPS symbols (u8 deltas, ~1.6% of the input
+size).  Decode then:
+
+  1. pre-packs each lane's stream into per-chunk aligned windows of u32
+     words (one bulk XLA windowed gather, ~1 word/symbol volume);
+  2. inside the kernel, each step reads its next 4 bytes with a cheap
+     one-hot select over the <=72-row chunk window (relative position
+     resets to 0 at every chunk boundary — no global positions needed).
+
+The decoder's symbol search (find_value) needs the cumulative frequency
+table every step; it is recomputed from the freq state by a (256,256) x
+(256,128) triangular MXU matmul — freqs are < 2^14 so f32 accumulation is
+exact, and there is no data-dependent control flow anywhere.
+
+Integer divisions (range//total and offset//r) use f32 reciprocal division
+with exact u32 remainder fixups (quotient error <= 2 corrected).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+CHUNK_STEPS = 64          # symbols per index entry (index granularity)
+GROUP = 32                # output u8 sublane tile
+TOP = 1 << 24
+BOT = 1 << 16
+W_BUCKETS = (16, 24, 40, 72)  # window words per chunk (72 covers the
+#                               absolute worst case 4*64+4 bytes)
+
+
+def window_words(max_delta: int) -> int:
+    """Smallest window bucket covering a chunk that consumed max_delta
+    bytes (word reads reach byte index delta-1+3)."""
+    need = (max_delta + 2) // 4 + 1
+    for w in W_BUCKETS:
+        if w >= need:
+            return w
+    raise ValueError(f"chunk delta {max_delta} exceeds 4*CHUNK_STEPS")
+
+
+# ---------------------------------------------------------------------------
+# Exact u32 division via f32 with remainder fixups (den < 2^24)
+# ---------------------------------------------------------------------------
+
+def _u32_to_f32(x):
+    """Mosaic has no u32->f32 cast; split into exact 16-bit halves."""
+    hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
+    lo = (x & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * 65536.0 + lo
+
+
+def u32_div_exact(num, den):
+    """(q, rem) = divmod(num, den) for u32 num, u32 den in [1, 2^24),
+    quotient < 2^31.
+
+    Two f32 stages: the first quotient is within num/den * 2^-23 of exact
+    (error <= 512 at den=1); the signed remainder is re-divided to within
+    +-1, and exact u32 fixups finish the job.
+    """
+    den_f = den.astype(jnp.int32).astype(jnp.float32)  # den < 2^24: exact
+    q = jnp.floor(_u32_to_f32(num) / den_f).astype(jnp.int32)
+    rem_s = jax.lax.bitcast_convert_type(
+        num - q.astype(jnp.uint32) * den, jnp.int32)  # |rem_s| < 2^30
+    corr = jnp.floor(rem_s.astype(jnp.float32) / den_f).astype(jnp.int32)
+    q = (q + corr).astype(jnp.uint32)
+    rem = num - q * den
+    for _ in range(2):
+        wrapped = rem >= jnp.uint32(1 << 31)
+        q = jnp.where(wrapped, q - 1, q)
+        rem = jnp.where(wrapped, rem + den, rem)
+    for _ in range(2):
+        over = rem >= den
+        q = jnp.where(over, q + 1, q)
+        rem = jnp.where(over, rem - den, rem)
+    return q, rem
+
+
+# ---------------------------------------------------------------------------
+# Chunk index: encode-side extraction, host-side byte packing
+# ---------------------------------------------------------------------------
+
+def chunk_deltas(counts: jnp.ndarray) -> jnp.ndarray:
+    """Encoder renorm counts (N, L) u8 -> per-chunk consumed bytes
+    (N/CHUNK_STEPS, L) i32.  Decode consumes the same bytes at the same
+    steps (the decoder replays the encoder's renorm conditions)."""
+    n, lanes = counts.shape
+    assert n % CHUNK_STEPS == 0
+    return counts.astype(jnp.int32).reshape(
+        n // CHUNK_STEPS, CHUNK_STEPS, lanes).sum(axis=1)
+
+
+def pack_chunk_index(deltas: np.ndarray) -> bytes:
+    """u8 stream with 255-escape (255, lo, hi) for deltas in [255, 256]."""
+    out = bytearray()
+    for d in deltas:
+        d = int(d)
+        if d < 255:
+            out.append(d)
+        else:
+            out += bytes((255, d & 0xFF, d >> 8))
+    return bytes(out)
+
+
+def parse_chunk_index(blob: bytes, nc: int) -> np.ndarray:
+    deltas = np.zeros(nc, np.int32)
+    i = 0
+    for k in range(nc):
+        if i >= len(blob):
+            raise ValueError("chunk index truncated")
+        d = blob[i]
+        i += 1
+        if d == 255:
+            d = blob[i] | (blob[i + 1] << 8)
+            i += 2
+        deltas[k] = d
+    if i != len(blob):
+        raise ValueError("chunk index has trailing bytes")
+    return deltas
+
+
+# ---------------------------------------------------------------------------
+# Window prepack (bulk XLA, outside the kernel)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def build_windows(comp: jnp.ndarray, starts: jnp.ndarray, w: int):
+    """comp (CAP, L) u8 (zero-padded streams, lane-major columns),
+    starts (NC, L) i32 byte positions -> (NC*w, L) u32 windows where
+    window word j of chunk k holds stream bytes starts[k]+4j .. +4j+3
+    big-endian."""
+    cap, lanes = comp.shape
+    c = jnp.concatenate([comp, jnp.zeros((4, lanes), jnp.uint8)], axis=0)
+    cu = c.astype(jnp.uint32)
+    sliding = ((cu[:-3] << 24) | (cu[1:-2] << 16)
+               | (cu[2:-1] << 8) | cu[3:])                  # (cap+1, L)
+    nc = starts.shape[0]
+    idx = starts[:, None, :] + 4 * jnp.arange(w, dtype=jnp.int32)[None, :,
+                                                                  None]
+    idx = jnp.clip(idx, 0, cap).reshape(nc * w, lanes)
+    return jnp.take_along_axis(sliding, idx, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _decode_step(low, rng, code, ft, tot, posB, active, win_i, tri,
+                 iota256, iotaW, increment: int, threshold: int):
+    """One decode step over 128 lanes; shared verbatim by the Pallas kernel
+    and the XLA reference path (ari_decode_reference) so the step logic is
+    CPU-testable despite the interpret-mode lowering bug.
+
+    All arrays lane-minor: state (128,), tables (256,128), window (W,128)
+    i32 bit patterns.  Returns (new state..., sym)."""
+    inc_f = float(increment)
+    tot_u = tot.astype(jnp.uint32)
+    r, _ = u32_div_exact(rng, tot_u)
+    v, _ = u32_div_exact(code - low, r)
+    v = jnp.minimum(v, tot_u - 1).astype(jnp.int32)
+    # find_value: cumulative table via triangular matmul (f32 exact —
+    # freqs < 2^14)
+    cum = jax.lax.dot_general(tri, ft, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    v_f = v.astype(jnp.float32)
+    sym = jnp.sum((cum <= v_f[None, :]).astype(jnp.int32), axis=0)
+    onehot = iota256 == sym[None, :]
+    below = iota256 < sym[None, :]
+    cum_hi = jnp.max(jnp.where(onehot, cum, 0.0), axis=0)
+    cum_lo = jnp.max(jnp.where(below, cum, 0.0), axis=0)
+    cum_lo_u = cum_lo.astype(jnp.int32).astype(jnp.uint32)
+    f_u = (cum_hi - cum_lo).astype(jnp.int32).astype(jnp.uint32)
+    low2 = low + r * cum_lo_u
+    rng2 = r * f_u
+    # fetch the next 4 stream bytes: two window words + byte alignment
+    widx = posB >> 2
+    m0 = iotaW == widx[None, :]
+    m1 = iotaW == (widx + 1)[None, :]
+    w0 = jnp.sum(jnp.where(m0, win_i, 0), axis=0).astype(jnp.uint32)
+    w1 = jnp.sum(jnp.where(m1, win_i, 0), axis=0).astype(jnp.uint32)
+    b = posB & 3
+    wrd = jnp.where(
+        b == 0, w0,
+        jnp.where(b == 1, (w0 << 8) | (w1 >> 24),
+                  jnp.where(b == 2, (w0 << 16) | (w1 >> 16),
+                            (w0 << 24) | (w1 >> 8))))
+    pulled = jnp.zeros_like(posB)
+    for rd_ in range(4):
+        settled = ((low2 ^ (low2 + rng2)) < TOP)
+        force = (~settled) & (rng2 < BOT)
+        rng2 = jnp.where(force, (~low2 + 1) & (BOT - 1), rng2)
+        pull = (settled | force) & active
+        # byte rd_ of this step sits at bits 24-8*pulled of wrd; pulled
+        # <= rd_ so select among static shifts
+        byte = wrd >> 24
+        for kk in range(1, rd_ + 1):
+            byte = jnp.where(pulled == kk, (wrd >> (24 - 8 * kk)), byte)
+        byte = byte & jnp.uint32(0xFF)
+        code = jnp.where(pull, (code << 8) | byte, code)
+        low2 = jnp.where(pull, low2 << 8, low2)
+        rng2 = jnp.where(pull, rng2 << 8, rng2)
+        pulled = pulled + pull.astype(jnp.int32)
+    posB = posB + jnp.where(active, pulled, 0)
+    # model update with halving downscale (mirrors the encoder)
+    nf = ft + jnp.where(onehot, inc_f, 0.0)
+    ntot = tot + increment
+    scale = ntot >= threshold
+    sf = jnp.floor((nf + 1.0) * 0.5)
+    nf = jnp.where(scale[None, :], sf, nf)
+    ntot = jnp.where(scale, jnp.sum(sf, axis=0).astype(jnp.int32), ntot)
+    low = jnp.where(active, low2, low)
+    rng = jnp.where(active, rng2, rng)
+    ft = jnp.where(active[None, :], nf, ft)
+    tot = jnp.where(active, ntot, tot)
+    return low, rng, code, ft, tot, posB, sym
+
+
+def _tri256():
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    return (r2 >= c2).astype(jnp.float32)  # inclusive cumsum
+
+
+def _ari_decode_kernel(win_ref, code0_ref, len_ref, out_ref,
+                       low_r, rng_r, code_r, freq, total, tri, *,
+                       increment: int, threshold: int, w: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        low_r[0, :] = jnp.zeros((LANES,), jnp.uint32)
+        rng_r[0, :] = jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32)
+        code_r[0, :] = code0_ref[0, :]
+        freq[:, :] = jnp.ones((256, LANES), jnp.float32)
+        total[0, :] = jnp.full((LANES,), 256, jnp.int32)
+        tri[:, :] = _tri256()
+
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    win_i = win_ref[:, :].astype(jnp.int32)  # bit patterns; one-hot exact
+    lens = len_ref[0, :]
+    tri_v = tri[:, :]
+
+    def group_body(g, posB):
+        rows = []
+        low = low_r[0, :]
+        rng = rng_r[0, :]
+        code = code_r[0, :]
+        ft = freq[:, :]
+        tot = total[0, :]
+        for j in range(GROUP):
+            step = pl.program_id(0) * CHUNK_STEPS + g * GROUP + j
+            active = step < lens
+            low, rng, code, ft, tot, posB, sym = _decode_step(
+                low, rng, code, ft, tot, posB, active, win_i, tri_v,
+                iota256, iotaW, increment, threshold)
+            rows.append(sym.astype(jnp.uint8))
+        low_r[0, :] = low
+        rng_r[0, :] = rng
+        code_r[0, :] = code
+        freq[:, :] = ft
+        total[0, :] = tot
+        out_ref[pl.ds(g * GROUP, GROUP), :] = jnp.stack(rows)
+        return posB
+
+    # relative byte position resets at every chunk boundary (the window is
+    # re-based by the prepack)
+    jax.lax.fori_loop(0, CHUNK_STEPS // GROUP, group_body,
+                      jnp.zeros((LANES,), jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "increment", "threshold",
+                                    "interpret"))
+def ari_decode_lanes(windows: jnp.ndarray, code0: jnp.ndarray,
+                     lens: jnp.ndarray, w: int = W_BUCKETS[-1],
+                     increment: int = 8, threshold: int = 1 << 13,
+                     interpret: bool = False) -> jnp.ndarray:
+    """windows: (NC*w, LANES) u32 prepacked chunk windows; code0 (LANES,)
+    u32 = first 4 stream bytes BE; lens (LANES,) i32 symbol counts.
+    Returns (NC*CHUNK_STEPS, LANES) u8 decoded symbols (time-major)."""
+    total_rows, lanes = windows.shape
+    assert lanes == LANES and total_rows % w == 0
+    nc = total_rows // w
+    n = nc * CHUNK_STEPS
+    return pl.pallas_call(
+        functools.partial(_ari_decode_kernel, increment=increment,
+                          threshold=threshold, w=w),
+        out_shape=jax.ShapeDtypeStruct((n, LANES), jnp.uint8),
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK_STEPS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, LANES), jnp.uint32),    # low
+            pltpu.VMEM((1, LANES), jnp.uint32),    # range
+            pltpu.VMEM((1, LANES), jnp.uint32),    # code
+            pltpu.VMEM((256, LANES), jnp.float32),  # freq
+            pltpu.VMEM((1, LANES), jnp.int32),     # total
+            pltpu.VMEM((256, 256), jnp.float32),   # cumsum triangle
+        ],
+        interpret=interpret,
+    )(windows, code0.reshape(1, LANES).astype(jnp.uint32),
+      lens.reshape(1, LANES).astype(jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "increment", "threshold"))
+def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
+                         lens: jnp.ndarray, w: int = W_BUCKETS[-1],
+                         increment: int = 8, threshold: int = 1 << 13):
+    """Pure-XLA replica of the Pallas kernel (same _decode_step, nested
+    lax.scan instead of a grid) — CPU-testable ground truth for the kernel
+    wiring, since interpret mode trips a jax lowering bug."""
+    total_rows, lanes = windows.shape
+    assert lanes == LANES and total_rows % w == 0
+    nc = total_rows // w
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    tri = _tri256()
+    win_chunks = windows.reshape(nc, w, LANES).astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+
+    def chunk_body(carry, xs):
+        low, rng, code, ft, tot = carry
+        win_i, k = xs
+
+        def step_body(c2, j):
+            low, rng, code, ft, tot, posB = c2
+            active = (k * CHUNK_STEPS + j) < lens
+            low, rng, code, ft, tot, posB, sym = _decode_step(
+                low, rng, code, ft, tot, posB, active, win_i, tri,
+                iota256, iotaW, increment, threshold)
+            return (low, rng, code, ft, tot, posB), sym.astype(jnp.uint8)
+
+        (low, rng, code, ft, tot, _), syms = jax.lax.scan(
+            step_body,
+            (low, rng, code, ft, tot, jnp.zeros((LANES,), jnp.int32)),
+            jnp.arange(CHUNK_STEPS, dtype=jnp.int32))
+        return (low, rng, code, ft, tot), syms
+
+    init = (jnp.zeros((LANES,), jnp.uint32),
+            jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32),
+            code0.astype(jnp.uint32),
+            jnp.ones((256, LANES), jnp.float32),
+            jnp.full((LANES,), 256, jnp.int32))
+    _, syms = jax.lax.scan(chunk_body, init,
+                           (win_chunks, jnp.arange(nc, dtype=jnp.int32)))
+    return syms.reshape(nc * CHUNK_STEPS, LANES)
+
+
+# ---------------------------------------------------------------------------
+# Batch wrapper: container streams -> symbols
+# ---------------------------------------------------------------------------
+
+def ari_decode_batch_kernel(streams, deltas, lengths, n: int,
+                            interpret: bool = False,
+                            backend: str = "pallas"):
+    """streams: (B<=128, CAP) u8 oracle-format ari streams (zero-padded);
+    deltas: (B, NC) i32 per-chunk consumed bytes (from the container's
+    chunk index); lengths: (B,) i32 symbol counts; n: symbols per block
+    (padded to CHUNK_STEPS).  Returns (B, n) u8 decoded symbols."""
+    b, cap = streams.shape
+    assert b <= LANES
+    n_pad = (-n) % CHUNK_STEPS
+    nsteps = n + n_pad
+    nc = nsteps // CHUNK_STEPS
+    deltas_np = np.asarray(deltas, np.int32)
+    if deltas_np.shape[1] < nc:
+        deltas_np = np.pad(deltas_np,
+                           ((0, 0), (0, nc - deltas_np.shape[1])))
+    comp = jnp.zeros((cap, LANES), jnp.uint8)
+    comp = comp.at[:, :b].set(jnp.transpose(streams))
+    dT = jnp.zeros((nc, LANES), jnp.int32).at[:, :b].set(
+        jnp.transpose(jnp.asarray(deltas_np[:, :nc])))
+    starts = 4 + jnp.cumsum(dT, axis=0) - dT
+    w = window_words(max(int(deltas_np.max(initial=0)), 1))
+    windows = build_windows(comp, starts, w)
+    cu = streams[:, :4].astype(jnp.uint32)
+    code0 = jnp.zeros(LANES, jnp.uint32).at[:b].set(
+        (cu[:, 0] << 24) | (cu[:, 1] << 16) | (cu[:, 2] << 8) | cu[:, 3])
+    lens = jnp.zeros(LANES, jnp.int32).at[:b].set(
+        jnp.asarray(lengths, jnp.int32))
+    if backend == "reference":
+        syms = ari_decode_reference(windows, code0, lens, w=w)
+    else:
+        syms = ari_decode_lanes(windows, code0, lens, w=w,
+                                interpret=interpret)
+    return jnp.transpose(syms[:n, :b])
