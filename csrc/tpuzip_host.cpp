@@ -175,6 +175,54 @@ int64_t tpz_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
   return o;
 }
 
+// LZ4 decode PLAN: parse the token stream at host speed and emit, for
+// every output byte, the position of the compressed-stream LITERAL it
+// ultimately copies from (matches resolved transitively, overlap included).
+// The device then decodes with ONE bulk gather out[i] = comp[plan[i]] —
+// the host-parse/device-copy-plan architecture (GPU-decoder style).
+int64_t tpz_lz4_decode_plan(const uint8_t* src, int64_t n, int32_t* plan,
+                            int64_t cap) {
+  int64_t i = 0, o = 0;
+  while (i < n) {
+    uint8_t token = src[i++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (i + lit > n || o + lit > cap) return -1;
+    for (int64_t k = 0; k < lit; ++k) plan[o + k] = (int32_t)(i + k);
+    i += lit;
+    o += lit;
+    if (i >= n) break;
+    if (i + 2 > n) return -1;
+    uint16_t off;
+    memcpy(&off, src + i, 2);
+    i += 2;
+    if (off == 0 || off > o) return -1;
+    int64_t mlen = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        mlen += b;
+      } while (b == 255);
+    }
+    if (o + mlen > cap) return -1;
+    int64_t s = o - off;
+    // transitive resolution: plan[s+k] is already a literal position
+    // (overlapping matches read entries written earlier this iteration)
+    for (int64_t k = 0; k < mlen; ++k) plan[o + k] = plan[s + k];
+    o += mlen;
+  }
+  return o;
+}
+
 // ---------------------------------------------------------------- RLE
 int64_t tpz_rle_encode(const uint8_t* src, int64_t n, uint8_t* dst,
                        int64_t cap) {

@@ -17,14 +17,29 @@ import sys
 import time
 
 
+def _make_config(args):
+    from tpuzip.core.config import Config
+
+    cfg = Config()
+    if getattr(args, "ari_increment", None) is not None:
+        cfg.codec.ari.increment = args.ari_increment
+    if getattr(args, "ari_threshold", None) is not None:
+        cfg.codec.ari.threshold = args.ari_threshold
+    return cfg
+
+
 def _compress(args) -> int:
+    from tpuzip.utils.metrics import RunMetrics
+
     data = open(args.infile, "rb").read()
+    metrics = RunMetrics()
     t0 = time.perf_counter()
     if args.format == "tpz":
         from tpuzip.dist import runner
 
         out = runner.compress(data, codec=args.codec,
-                              block_size=args.block_size)
+                              block_size=args.block_size,
+                              config=_make_config(args), metrics=metrics)
     elif args.format == "lz4f":
         from tpuzip.codecs import lz4_frame
 
@@ -40,16 +55,21 @@ def _compress(args) -> int:
     print(f"{len(data)} -> {len(out)} bytes "
           f"({len(out) / max(len(data), 1):.1%}) in {dt:.2f}s "
           f"[{len(data) / dt / 1e6:.1f} MB/s]", file=sys.stderr)
+    if args.metrics:
+        print(metrics.report())
     return 0
 
 
 def _decompress(args) -> int:
+    from tpuzip.utils.metrics import RunMetrics
+
     data = open(args.infile, "rb").read()
+    metrics = RunMetrics()
     t0 = time.perf_counter()
     if args.format == "tpz":
         from tpuzip.dist import runner
 
-        out = runner.decompress(data)
+        out = runner.decompress(data, metrics=metrics)
     elif args.format == "lz4f":
         from tpuzip.oracle import lz4
 
@@ -63,6 +83,8 @@ def _decompress(args) -> int:
     dt = time.perf_counter() - t0
     open(args.outfile, "wb").write(out)
     print(f"{len(data)} -> {len(out)} bytes in {dt:.2f}s", file=sys.stderr)
+    if args.metrics:
+        print(metrics.report())
     return 0
 
 
@@ -106,6 +128,13 @@ def main(argv=None) -> int:
         sp.add_argument("-f", "--format", default="tpz",
                         choices=["tpz", "lz4f", "zlib"])
         sp.add_argument("-b", "--block-size", type=int, default=1 << 16)
+        sp.add_argument("--metrics", action="store_true",
+                        help="print per-phase metrics JSON to stdout")
+        sp.add_argument("--ari-increment", type=int, default=None,
+                        help="ari table-model frequency increment "
+                             "(recorded in the container)")
+        sp.add_argument("--ari-threshold", type=int, default=None,
+                        help="ari downscale-halving threshold")
         sp.add_argument("infile")
         if out:
             sp.add_argument("outfile")

@@ -129,7 +129,8 @@ def _ari_encode_auto(blocks, lengths):
     return jax.jit(jari.encode_batch)(blocks, lengths)
 
 
-def _ari_encode_indexed(blocks, lengths):
+def _ari_encode_indexed(blocks, lengths, increment: int = 8,
+                        threshold: int = 1 << 13):
     """ari encode + fast-decode chunk index (VERDICT r1 item 1).
 
     Returns (comp (B, cap) u8, clens (B,) i64-able, deltas (B, NC) i32)
@@ -137,10 +138,16 @@ def _ari_encode_indexed(blocks, lengths):
     decoder.  Pallas kernel on TPU in 128-lane groups, XLA scan elsewhere
     (both emit identical oracle streams AND identical indexes)."""
     from tpuzip.kernels import range_decoder as rdk
+    from tpuzip.utils.metrics import log
 
     b, n = blocks.shape
     cs = rdk.CHUNK_STEPS
-    if jax.devices()[0].platform == "tpu" and n % 256 == 0:
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and n % 256 != 0:
+        log.warning(
+            "ari: block_size %d not a multiple of 256 — falling back from "
+            "the Pallas lane encoder to the XLA scan (~80x slower)", n)
+    if on_tpu and n % 256 == 0:
         from tpuzip.kernels.range_coder import (
             LANES, ari_encode_lanes_packed_indexed)
 
@@ -155,13 +162,16 @@ def _ari_encode_indexed(blocks, lengths):
                 jnp.transpose(grp))
             lens = jnp.zeros(LANES, jnp.int32).at[:gb].set(
                 lengths[g : g + LANES])
-            streams, slens, dts = ari_encode_lanes_packed_indexed(x, lens)
+            streams, slens, dts = ari_encode_lanes_packed_indexed(
+                x, lens, increment=increment, threshold=threshold)
             w = min(streams.shape[1], cap)
             comp[g : g + gb, :w] = np.asarray(streams[:gb, :w])
             clens[g : g + gb] = np.asarray(slens[:gb])
             deltas[g : g + gb] = np.asarray(dts).T[:gb]
         return comp, clens, deltas
-    comp, clens, counts = jax.jit(jari.encode_batch_with_counts)(
+    comp, clens, counts = jax.jit(jax.vmap(
+        lambda bb, ll: jari.encode_with_counts(
+            bb, ll, increment=increment, threshold=threshold)))(
         blocks, lengths)
     counts = np.asarray(counts)
     pad = (-counts.shape[1]) % cs
@@ -193,7 +203,8 @@ def _pow2_bucket(m: int, lo: int, hi: int) -> int:
     return min(max(b, lo), hi)
 
 
-def _encode_ari_family(codec: str, jb, jl, lengths) -> list[bytes]:
+def _encode_ari_family(codec: str, jb, jl, lengths, increment: int = 8,
+                       threshold: int = 1 << 13) -> list[bytes]:
     """Staged batch pipeline for the ari-backed codecs (VERDICT r1 items
     1+2): BWT (batched XLA sort) -> MTF/DC -> Pallas ari encoder, with the
     fast-decode chunk index.  Per-block payloads:
@@ -210,13 +221,13 @@ def _encode_ari_family(codec: str, jb, jl, lengths) -> list[bytes]:
         syms, sym_lens = jb, jl
         heads = [b""] * B
     elif codec == "bwt":
-        L, origins = jax.jit(jbwt.encode_batch)(jb, jl)
+        L, origins = jbwt.encode_batch_fast(jb, jl)
         syms = _mtf_encode_auto(L, jl)
         sym_lens = jl
         origins_np = np.asarray(origins)
         heads = [struct.pack("<I", int(origins_np[i])) for i in range(B)]
     elif codec == "bwtdc":
-        L, origins = jax.jit(jbwt.encode_batch)(jb, jl)
+        L, origins = jbwt.encode_batch_fast(jb, jl)
         dcomp, dlens = jax.jit(jdc.encode_batch)(L, jl)
         dlens_np = np.asarray(dlens).astype(np.int64)
         # bucket the ari width so the kernel does ~max(dlen) work, not the
@@ -230,7 +241,8 @@ def _encode_ari_family(codec: str, jb, jl, lengths) -> list[bytes]:
                  for i in range(B)]
     else:
         raise ValueError(codec)
-    comp_np, slens_np, deltas = _ari_encode_indexed(syms, sym_lens)
+    comp_np, slens_np, deltas = _ari_encode_indexed(
+        syms, sym_lens, increment=increment, threshold=threshold)
     sym_lens_np = np.asarray(sym_lens).astype(np.int64)
     blobs = []
     for i in range(B):
@@ -242,7 +254,8 @@ def _encode_ari_family(codec: str, jb, jl, lengths) -> list[bytes]:
 
 
 def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
-                       olens: np.ndarray, block_size: int, B: int
+                       olens: np.ndarray, block_size: int, B: int,
+                       increment: int = 8, threshold: int = 1 << 13
                        ) -> np.ndarray:
     """Decode the flag-bit-1 staged payloads: Pallas ari decoder (TPU) or
     XLA scan, then MTF/DC + inverse BWT."""
@@ -272,15 +285,16 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
     syms = _ari_decode_indexed(comp[:, head:], np.maximum(clens - head, 0),
                                sym_lens, width,
                                (width + rdk.CHUNK_STEPS - 1)
-                               // rdk.CHUNK_STEPS, B)
+                               // rdk.CHUNK_STEPS, B,
+                               increment=increment, threshold=threshold)
     if codec == "ari":
         return syms
     jsyms = jnp.array(syms)
     if codec == "bwt":
         jl = jnp.array(olens.astype(np.int32))
         L = _mtf_encode_auto(jsyms, jl, decode=True)
-        out = jax.jit(jbwt.decode_batch)(L, jnp.array(origins),
-                                         jl.astype(jnp.int32))
+        out = jbwt.decode_batch_auto(L, jnp.array(origins),
+                                     jl.astype(jnp.int32))
         return np.asarray(out)
     # bwtdc
     jdl = jnp.array(dlens.astype(np.int32))
@@ -289,13 +303,14 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
         jsyms, jdl, block_size)
     if np.asarray(errs)[:B].any():
         raise CorruptStreamError(np.nonzero(np.asarray(errs)[:B])[0])
-    out = jax.jit(jbwt.decode_batch)(L, jnp.array(origins), jl)
+    out = jbwt.decode_batch_auto(L, jnp.array(origins), jl)
     return np.asarray(out)
 
 
 def _ari_decode_indexed(comp: np.ndarray, clens: np.ndarray,
                         olens: np.ndarray, block_size: int, nc_full: int,
-                        B: int) -> np.ndarray:
+                        B: int, increment: int = 8,
+                        threshold: int = 1 << 13) -> np.ndarray:
     """Decode flag-bit-1 ari payloads ([u32 idx_len][chunk index][stream]).
 
     TPU: Pallas lane decoder in 128-block groups (kernels/range_decoder);
@@ -329,10 +344,13 @@ def _ari_decode_indexed(comp: np.ndarray, clens: np.ndarray,
             gb = min(L, B - g)
             out[g : g + gb] = np.asarray(rdk.ari_decode_batch_kernel(
                 jnp.array(streams[g : g + gb]), deltas[g : g + gb],
-                jnp.array(olens[g : g + gb].astype(np.int32)), block_size))
+                jnp.array(olens[g : g + gb].astype(np.int32)), block_size,
+                increment=increment, threshold=threshold))
         return out
-    return np.asarray(jax.jit(jari.decode_batch, static_argnums=2)(
-        jnp.array(streams), jnp.array(olens.astype(np.int32)), block_size))
+    return np.asarray(jax.jit(jax.vmap(
+        lambda c, l: jari.decode(c, l, block_size, increment=increment,
+                                 threshold=threshold)))(
+        jnp.array(streams), jnp.array(olens.astype(np.int32))))
 
 
 def _deflate_cap(n):
@@ -380,43 +398,62 @@ def _decode_batch(codec: str, comp, lens, out_n):
     raise ValueError(codec)
 
 
-def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
-             mesh: Mesh | None = None, block_checksums: bool = False) -> bytes:
+def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
+             mesh: Mesh | None = None, block_checksums: bool = False,
+             config=None, metrics=None) -> bytes:
     """Compress a corpus with the sharded batch pipeline.
 
     block_checksums=True adds a device-computed Adler-32 per block so a
-    corrupt payload poisons (and identifies) only its own block."""
+    corrupt payload poisons (and identifies) only its own block.
+    `config` (core.config.Config) supplies the codec knobs — ari
+    increment/threshold change the emitted streams and are recorded in the
+    container (flag bit 2).  `metrics` (utils.metrics.RunMetrics) collects
+    per-phase timings."""
+    from tpuzip.core.config import Config
+    from tpuzip.utils.metrics import RunMetrics
+
+    config = config or Config()
+    metrics = metrics if metrics is not None else RunMetrics()
+    if block_size is None:
+        block_size = (config.codec.bwt.block_size
+                      if codec in ("bwt", "bwtdc")
+                      else config.mesh.block_size)
+    inc = config.codec.ari.increment
+    thr = config.codec.ari.threshold
     mesh = mesh or meshlib.make_mesh()
     ndp = mesh.shape["dp"]
-    blocks, lengths = blk.chunk_padded(data, block_size, ndp)
-    B = blocks.shape[0]
+    with metrics.phase("chunk", bytes_in=len(data)):
+        blocks, lengths = blk.chunk_padded(data, block_size, ndp)
+        B = blocks.shape[0]
+        sharding = meshlib.block_sharding(mesh)
+        lsharding = meshlib.length_sharding(mesh)
+        jb = jax.device_put(jnp.array(blocks), sharding)
+        jl = jax.device_put(jnp.array(lengths), lsharding)
     enc, cap_fn = _ENCODERS[codec]
-
-    sharding = meshlib.block_sharding(mesh)
-    lsharding = meshlib.length_sharding(mesh)
-    jb = jax.device_put(jnp.array(blocks), sharding)
-    jl = jax.device_put(jnp.array(lengths), lsharding)
     flags = 1 if block_checksums else 0
+    if (inc, thr) != (8, 1 << 13):
+        flags |= 4
     if codec in ("ari", "bwt", "bwtdc"):
         # staged pipeline with the fast-decode chunk index (flag bit 1)
-        blobs = _encode_ari_family(codec, jb, jl, lengths)
-        clens_np = np.array([len(p) for p in blobs], np.int64)
-        payload = b"".join(blobs)
+        with metrics.phase("encode", bytes_in=len(data), blocks=B):
+            blobs = _encode_ari_family(codec, jb, jl, lengths,
+                                       increment=inc, threshold=thr)
+        with metrics.phase("assemble"):
+            clens_np = np.array([len(p) for p in blobs], np.int64)
+            payload = b"".join(blobs)
         flags |= 2
-    elif codec == "deflate":
-        # host dispatch inside (Huffman stage); device stages jit themselves
-        comp, clens = enc(jb, jl)
-        comp_np = np.asarray(comp)
-        clens_np = np.asarray(clens).astype(np.int64)
-        payload = b"".join(
-            comp_np[i, : clens_np[i]].tobytes() for i in range(B))
     else:
-        comp, clens = jax.jit(enc)(jb, jl)
-        comp_np = np.asarray(comp)
-        clens_np = np.asarray(clens).astype(np.int64)
-        payload = b"".join(
-            comp_np[i, : clens_np[i]].tobytes() for i in range(B))
-    a32 = corpus_adler32(data)
+        with metrics.phase("encode", bytes_in=len(data), blocks=B):
+            if codec == "deflate":
+                # host dispatch inside (Huffman table stage)
+                comp, clens = enc(jb, jl)
+            else:
+                comp, clens = jax.jit(enc)(jb, jl)
+            clens_np = np.asarray(clens).astype(np.int64)
+        with metrics.phase("assemble"):
+            payload = _assemble_payload(mesh, comp, clens, clens_np, B)
+    with metrics.phase("checksum", bytes_in=len(data)):
+        a32 = corpus_adler32(data)
 
     hdr = bytearray(MAGIC)
     hdr.append(CODECS[codec])
@@ -430,12 +467,45 @@ def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16,
         bsums = np.asarray(jax.jit(adler32_batch)(jb, jl))
         for i in range(B):
             hdr += struct.pack("<I", int(bsums[i]))
+    if flags & 4:
+        hdr += struct.pack("<HI", inc, thr)
     # per-block original lengths are implied by block_size + orig_len,
     # EXCEPT for ari which decodes by symbol count — same implication works.
     return bytes(hdr) + payload
 
 
-def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
+def _assemble_payload(mesh, comp, clens, clens_np: np.ndarray,
+                      B: int) -> bytes:
+    """Payload assembly through the ordered ragged gather collective: the
+    per-device prefix-sum pack + psum union runs on the mesh (ICI when
+    multi-chip), and the host downloads ONE compacted stream instead of
+    per-block slices (VERDICT r1: make the collectives load-bearing)."""
+    from tpuzip.dist.collectives import ragged_ordered_gather
+
+    total = int(clens_np[:B].sum())
+    b_all, cap = comp.shape
+    cap_total = max(int(b_all) * int(cap), 1)
+    # padding blocks (batch rounded to the mesh width) contribute 0 bytes
+    lens_masked = jnp.where(jnp.arange(b_all) < B,
+                            jnp.asarray(clens, jnp.int32), 0)
+    try:
+        stream, _ = jax.jit(
+            lambda c, l: ragged_ordered_gather(mesh, c, l, cap_total))(
+            comp, lens_masked)
+        return np.asarray(stream)[:total].tobytes()
+    except Exception:
+        # mesh shapes the gather cannot handle (e.g. zero blocks) fall back
+        # to host slicing
+        comp_np = np.asarray(comp)
+        return b"".join(
+            comp_np[i, : clens_np[i]].tobytes() for i in range(B))
+
+
+def decompress(container: bytes, mesh: Mesh | None = None,
+               metrics=None) -> bytes:
+    from tpuzip.utils.metrics import RunMetrics
+
+    metrics = metrics if metrics is not None else RunMetrics()
     if container[:4] != MAGIC:
         raise HeaderError("bad tpz magic")
     if container[4] not in CODEC_IDS:
@@ -457,6 +527,12 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
             raise BlockLengthError("container truncated in checksum table")
         block_sums = np.frombuffer(container, np.uint32, B, off)
         off += 4 * B
+    inc, thr = 8, 1 << 13
+    if flags & 4:
+        if len(container) < off + 6:
+            raise BlockLengthError("container truncated in codec params")
+        inc, thr = struct.unpack_from("<HI", container, off)
+        off += 6
     # original per-block lengths implied by chunking
     olens = np.zeros(B, np.int64)
     rem = orig_len
@@ -511,8 +587,10 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
     jc = jax.device_put(jnp.array(comp), sharding)
     jl = jax.device_put(jnp.array(clens.astype(np.int32)), lsharding)
     if codec in ("ari", "bwt", "bwtdc") and flags & 2:
-        out_np = _decode_ari_family(codec, comp, clens, olens,
-                                    block_size, B)
+        with metrics.phase("decode", bytes_out=orig_len, blocks=B):
+            out_np = _decode_ari_family(codec, comp, clens, olens,
+                                        block_size, B, increment=inc,
+                                        threshold=thr)
         errs = np.zeros(B)
     elif codec == "ari":
         out = jax.jit(jari.decode_batch, static_argnums=2)(
@@ -548,9 +626,25 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         out_np = np.asarray(out)
         errs = np.asarray(errs)
     else:
-        out, olens_dev, errs = jax.jit(
-            lambda c, l: _decode_batch(codec, c, l, block_size))(jc, jl)
-        out_np = np.asarray(out)
+        planned = False
+        if codec == "lz4":
+            try:
+                from tpuzip.runtime import native
+
+                planned = native.available()
+            except Exception:
+                planned = False
+        with metrics.phase("decode", bytes_out=orig_len, blocks=B):
+            if planned:
+                # host-parse/device-copy-plan path: C++ token parse, one
+                # bulk device gather (VERDICT r1 item 3)
+                out, olens_dev, errs = jlz4.decode_batch_planned(
+                    comp, clens, block_size)
+            else:
+                out, olens_dev, errs = jax.jit(
+                    lambda c, l: _decode_batch(codec, c, l, block_size))(
+                    jc, jl)
+            out_np = np.asarray(out)
         errs = np.asarray(errs)
         got = np.asarray(olens_dev).astype(np.int64)
         bad = (got[:B] != olens[:B]) & (clens[:B] > 0)
@@ -567,9 +661,11 @@ def decompress(container: bytes, mesh: Mesh | None = None) -> bytes:
         bad = np.nonzero(got_sums[:B] != block_sums)[0]
         if bad.size:
             raise CorruptStreamError(bad)
-    data = b"".join(out_np[i, : olens[i]].tobytes() for i in range(B))
-    data = data[:orig_len]
-    if a32 and corpus_adler32(data) != a32:
-        raise ChecksumError(
-            f"corpus Adler-32 mismatch: {corpus_adler32(data):#x} != {a32:#x}")
+    with metrics.phase("verify", bytes_out=orig_len):
+        data = b"".join(out_np[i, : olens[i]].tobytes() for i in range(B))
+        data = data[:orig_len]
+        if a32 and corpus_adler32(data) != a32:
+            raise ChecksumError(
+                f"corpus Adler-32 mismatch: "
+                f"{corpus_adler32(data):#x} != {a32:#x}")
     return data

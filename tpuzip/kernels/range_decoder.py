@@ -175,10 +175,14 @@ def _decode_step(low, rng, code, ft, tot, posB, active, win_i, tri,
     tot_u = tot.astype(jnp.uint32)
     r, _ = u32_div_exact(rng, tot_u)
     v, _ = u32_div_exact(code - low, r)
-    v = jnp.minimum(v, tot_u - 1).astype(jnp.int32)
-    # find_value: cumulative table via triangular matmul (f32 exact —
-    # freqs < 2^14)
+    # no unsigned vector min in Mosaic (arith.minui) — compare+select
+    v = jnp.where(v >= tot_u, tot_u - 1, v).astype(jnp.int32)
+    # find_value: cumulative table via triangular matmul.  Precision
+    # HIGHEST is load-bearing: the TPU MXU truncates f32 operands to bf16
+    # by default, which corrupts freqs > 256 (8-bit mantissa); the 6-pass
+    # f32 emulation keeps sums < 2^14 exact.
     cum = jax.lax.dot_general(tri, ft, (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
     v_f = v.astype(jnp.float32)
     sym = jnp.sum((cum <= v_f[None, :]).astype(jnp.int32), axis=0)
@@ -378,7 +382,8 @@ def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
 
 def ari_decode_batch_kernel(streams, deltas, lengths, n: int,
                             interpret: bool = False,
-                            backend: str = "pallas"):
+                            backend: str = "pallas",
+                            increment: int = 8, threshold: int = 1 << 13):
     """streams: (B<=128, CAP) u8 oracle-format ari streams (zero-padded);
     deltas: (B, NC) i32 per-chunk consumed bytes (from the container's
     chunk index); lengths: (B,) i32 symbol counts; n: symbols per block
@@ -405,8 +410,11 @@ def ari_decode_batch_kernel(streams, deltas, lengths, n: int,
     lens = jnp.zeros(LANES, jnp.int32).at[:b].set(
         jnp.asarray(lengths, jnp.int32))
     if backend == "reference":
-        syms = ari_decode_reference(windows, code0, lens, w=w)
+        syms = ari_decode_reference(windows, code0, lens, w=w,
+                                    increment=increment,
+                                    threshold=threshold)
     else:
         syms = ari_decode_lanes(windows, code0, lens, w=w,
+                                increment=increment, threshold=threshold,
                                 interpret=interpret)
     return jnp.transpose(syms[:n, :b])

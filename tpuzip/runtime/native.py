@@ -55,6 +55,8 @@ def get_lib():
     lib.tpz_ari_encode.argtypes = [u8p, i64, u8p, i64, u32, u32]
     lib.tpz_ari_decode.restype = i64
     lib.tpz_ari_decode.argtypes = [u8p, i64, u8p, i64, u32, u32]
+    lib.tpz_lz4_decode_plan.restype = i64
+    lib.tpz_lz4_decode_plan.argtypes = [u8p, i64, i32p, i64]
     lib.tpz_pack_payloads.restype = i64
     lib.tpz_pack_payloads.argtypes = [u8p, i64, i64, i32p, u8p, i64]
     lib.tpz_unpack_payloads.restype = i64
@@ -103,6 +105,19 @@ def lz4_compress(data: bytes) -> bytes:
 
 def lz4_decompress(data: bytes, out_cap: int) -> bytes:
     return _run2("tpz_lz4_decompress", data, out_cap)
+
+
+def lz4_decode_plan(data: bytes, out_cap: int) -> np.ndarray:
+    """Parse an LZ4 block at host speed into the per-byte copy plan:
+    plan[i] = compressed-stream literal position that output byte i copies
+    from (matches resolved transitively).  Returns plan[:out_len] i32."""
+    lib = get_lib()
+    src = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    plan = np.zeros(max(out_cap, 1), np.int32)
+    n = lib.tpz_lz4_decode_plan(_u8(src), len(data), _i32(plan), out_cap)
+    if n < 0:
+        raise ValueError("tpz_lz4_decode_plan failed (corrupt stream)")
+    return plan[:n]
 
 
 def rle_encode(data: bytes) -> bytes:
