@@ -223,6 +223,271 @@ int64_t tpz_lz4_decode_plan(const uint8_t* src, int64_t n, int32_t* plan,
   return o;
 }
 
+// ---------------------------------------------------------------- inflate
+// RFC 1951 inflate (production host path for the deflate/zlib containers;
+// the device symbol-loop formulation in codecs/deflate.py is the TPU
+// reference and cross-checks this).  Canonical Huffman decode, puff-style
+// count/offset tables.
+namespace {
+
+struct BitRd {
+  const uint8_t* p;
+  int64_t n, pos = 0;
+  uint32_t buf = 0;
+  int cnt = 0;
+  bool ok = true;
+  uint32_t bits(int k) {
+    while (cnt < k) {
+      if (pos >= n) { ok = false; return 0; }
+      buf |= (uint32_t)p[pos++] << cnt;
+      cnt += 8;
+    }
+    uint32_t v = buf & ((1u << k) - 1);
+    buf >>= k;
+    cnt -= k;
+    return v;
+  }
+};
+
+struct Huf {
+  // canonical decode tables: count[len], symbols sorted by (len, sym)
+  int16_t count[16];
+  int16_t sym[320];
+  bool build(const uint8_t* lengths, int n) {
+    for (int i = 0; i < 16; ++i) count[i] = 0;
+    for (int i = 0; i < n; ++i) count[lengths[i]]++;
+    if (count[0] == n) return false;
+    int left = 1;
+    for (int l = 1; l < 16; ++l) {
+      left = (left << 1) - count[l];
+      if (left < 0) return false;  // oversubscribed
+    }
+    int16_t offs[16];
+    offs[1] = 0;
+    for (int l = 1; l < 15; ++l) offs[l + 1] = offs[l] + count[l];
+    for (int i = 0; i < n; ++i)
+      if (lengths[i]) sym[offs[lengths[i]]++] = (int16_t)i;
+    return true;
+  }
+  int decode(BitRd& br) const {
+    int code = 0, first = 0, index = 0;
+    for (int l = 1; l < 16; ++l) {
+      code |= (int)br.bits(1);
+      if (!br.ok) return -1;
+      int c = count[l];
+      if (code - first < c) return sym[index + (code - first)];
+      index += c;
+      first = (first + c) << 1;
+      code <<= 1;
+    }
+    return -1;
+  }
+};
+
+const int16_t kLenBase[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,
+                              43,51,59,67,83,99,115,131,163,195,227,258};
+const int16_t kLenEb[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,
+                            4,5,5,5,5,0};
+const int32_t kDistBase[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+                               257,385,513,769,1025,1537,2049,3073,4097,
+                               6145,8193,12289,16385,24577};
+const int16_t kDistEb[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,
+                             10,10,11,11,12,12,13,13};
+
+}  // namespace
+
+int64_t tpz_inflate(const uint8_t* src, int64_t n, uint8_t* dst,
+                    int64_t cap) {
+  BitRd br{src, n};
+  int64_t o = 0;
+  for (;;) {
+    uint32_t fin = br.bits(1), btype = br.bits(2);
+    if (!br.ok) return -1;
+    if (btype == 0) {
+      br.buf = 0; br.cnt = 0;  // align
+      if (br.pos + 4 > n) return -1;
+      uint32_t ln = src[br.pos] | (src[br.pos + 1] << 8);
+      uint32_t nln = src[br.pos + 2] | (src[br.pos + 3] << 8);
+      if (ln != (~nln & 0xFFFFu)) return -1;
+      br.pos += 4;
+      if (br.pos + (int64_t)ln > n || o + (int64_t)ln > cap) return -1;
+      memcpy(dst + o, src + br.pos, ln);
+      br.pos += ln;
+      o += ln;
+    } else if (btype == 1 || btype == 2) {
+      Huf lit, dist;
+      if (btype == 1) {
+        uint8_t ll[288], dl[30];
+        for (int i = 0; i < 144; ++i) ll[i] = 8;
+        for (int i = 144; i < 256; ++i) ll[i] = 9;
+        for (int i = 256; i < 280; ++i) ll[i] = 7;
+        for (int i = 280; i < 288; ++i) ll[i] = 8;
+        for (int i = 0; i < 30; ++i) dl[i] = 5;
+        lit.build(ll, 288);
+        dist.build(dl, 30);
+      } else {
+        static const int ord[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,
+                                    2,14,1,15};
+        int hlit = (int)br.bits(5) + 257;
+        int hdist = (int)br.bits(5) + 1;
+        int hclen = (int)br.bits(4) + 4;
+        if (!br.ok || hlit > 286 || hdist > 30) return -1;
+        uint8_t cl[19] = {0};
+        for (int i = 0; i < hclen; ++i) cl[ord[i]] = (uint8_t)br.bits(3);
+        Huf clh;
+        if (!br.ok || !clh.build(cl, 19)) return -1;
+        uint8_t lens[286 + 30] = {0};
+        int i = 0;
+        while (i < hlit + hdist) {
+          int s = clh.decode(br);
+          if (s < 0) return -1;
+          if (s < 16) { lens[i++] = (uint8_t)s; continue; }
+          int rep, val = 0;
+          if (s == 16) {
+            if (i == 0) return -1;
+            val = lens[i - 1];
+            rep = 3 + (int)br.bits(2);
+          } else if (s == 17) rep = 3 + (int)br.bits(3);
+          else rep = 11 + (int)br.bits(7);
+          if (!br.ok || i + rep > hlit + hdist) return -1;
+          while (rep--) lens[i++] = (uint8_t)val;
+        }
+        if (!lit.build(lens, hlit)) return -1;
+        uint8_t dl2[30] = {0};
+        memcpy(dl2, lens + hlit, hdist);
+        bool dok = dist.build(dl2, 30);
+        if (!dok) {
+          // all-zero dist lengths: legal when no matches occur
+          for (int k = 0; k < 16; ++k) dist.count[k] = 0;
+        }
+      }
+      for (;;) {
+        int s = lit.decode(br);
+        if (s < 0) return -1;
+        if (s < 256) {
+          if (o >= cap) return -1;
+          dst[o++] = (uint8_t)s;
+        } else if (s == 256) {
+          break;
+        } else {
+          s -= 257;
+          if (s >= 29) return -1;
+          int64_t mlen = kLenBase[s] + (int64_t)br.bits(kLenEb[s]);
+          int ds = dist.decode(br);
+          if (ds < 0 || ds >= 30) return -1;
+          int64_t dd = kDistBase[ds] + (int64_t)br.bits(kDistEb[ds]);
+          if (!br.ok || dd > o || o + mlen > cap) return -1;
+          for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[o - dd + k];
+          o += mlen;
+        }
+      }
+    } else {
+      return -1;
+    }
+    if (fin) break;
+  }
+  return o;
+}
+
+// inflate PLAN: host does the bit-serial Huffman work and emits (a) the
+// literal byte sequence and (b) for every output byte the index of the
+// literal it copies from (matches resolved transitively, as in
+// tpz_lz4_decode_plan); the device materializes the output as one bulk
+// gather.  Mirrors the LZ4 host-parse/device-copy-plan architecture.
+int64_t tpz_inflate_plan(const uint8_t* src, int64_t n, int32_t* plan,
+                         uint8_t* lits, int64_t cap, int64_t* nlit_out) {
+  BitRd br{src, n};
+  int64_t o = 0, nl = 0;
+  for (;;) {
+    uint32_t fin = br.bits(1), btype = br.bits(2);
+    if (!br.ok) return -1;
+    if (btype == 0) {
+      br.buf = 0; br.cnt = 0;
+      if (br.pos + 4 > n) return -1;
+      uint32_t ln = src[br.pos] | (src[br.pos + 1] << 8);
+      uint32_t nln = src[br.pos + 2] | (src[br.pos + 3] << 8);
+      if (ln != (~nln & 0xFFFFu)) return -1;
+      br.pos += 4;
+      if (br.pos + (int64_t)ln > n || o + (int64_t)ln > cap) return -1;
+      for (uint32_t k = 0; k < ln; ++k) {
+        lits[nl] = src[br.pos + k];
+        plan[o++] = (int32_t)nl++;
+      }
+      br.pos += ln;
+    } else if (btype == 1 || btype == 2) {
+      Huf lit, dist;
+      if (btype == 1) {
+        uint8_t ll[288], dl[30];
+        for (int i = 0; i < 144; ++i) ll[i] = 8;
+        for (int i = 144; i < 256; ++i) ll[i] = 9;
+        for (int i = 256; i < 280; ++i) ll[i] = 7;
+        for (int i = 280; i < 288; ++i) ll[i] = 8;
+        for (int i = 0; i < 30; ++i) dl[i] = 5;
+        lit.build(ll, 288);
+        dist.build(dl, 30);
+      } else {
+        static const int ord[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,
+                                    2,14,1,15};
+        int hlit = (int)br.bits(5) + 257;
+        int hdist = (int)br.bits(5) + 1;
+        int hclen = (int)br.bits(4) + 4;
+        if (!br.ok || hlit > 286 || hdist > 30) return -1;
+        uint8_t cl[19] = {0};
+        for (int i = 0; i < hclen; ++i) cl[ord[i]] = (uint8_t)br.bits(3);
+        Huf clh;
+        if (!br.ok || !clh.build(cl, 19)) return -1;
+        uint8_t lens[286 + 30] = {0};
+        int i = 0;
+        while (i < hlit + hdist) {
+          int s = clh.decode(br);
+          if (s < 0) return -1;
+          if (s < 16) { lens[i++] = (uint8_t)s; continue; }
+          int rep, val = 0;
+          if (s == 16) {
+            if (i == 0) return -1;
+            val = lens[i - 1];
+            rep = 3 + (int)br.bits(2);
+          } else if (s == 17) rep = 3 + (int)br.bits(3);
+          else rep = 11 + (int)br.bits(7);
+          if (!br.ok || i + rep > hlit + hdist) return -1;
+          while (rep--) lens[i++] = (uint8_t)val;
+        }
+        if (!lit.build(lens, hlit)) return -1;
+        uint8_t dl2[30] = {0};
+        memcpy(dl2, lens + hlit, hdist);
+        if (!dist.build(dl2, 30))
+          for (int k = 0; k < 16; ++k) dist.count[k] = 0;
+      }
+      for (;;) {
+        int s = lit.decode(br);
+        if (s < 0) return -1;
+        if (s < 256) {
+          if (o >= cap) return -1;
+          lits[nl] = (uint8_t)s;
+          plan[o++] = (int32_t)nl++;
+        } else if (s == 256) {
+          break;
+        } else {
+          s -= 257;
+          if (s >= 29) return -1;
+          int64_t mlen = kLenBase[s] + (int64_t)br.bits(kLenEb[s]);
+          int ds = dist.decode(br);
+          if (ds < 0 || ds >= 30) return -1;
+          int64_t dd = kDistBase[ds] + (int64_t)br.bits(kDistEb[ds]);
+          if (!br.ok || dd > o || o + mlen > cap) return -1;
+          for (int64_t k = 0; k < mlen; ++k) plan[o + k] = plan[o - dd + k];
+          o += mlen;
+        }
+      }
+    } else {
+      return -1;
+    }
+    if (fin) break;
+  }
+  *nlit_out = nl;
+  return o;
+}
+
 // ---------------------------------------------------------------- RLE
 int64_t tpz_rle_encode(const uint8_t* src, int64_t n, uint8_t* dst,
                        int64_t cap) {

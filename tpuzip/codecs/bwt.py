@@ -106,12 +106,20 @@ decode_batch = jax.vmap(decode_block, in_axes=(0, 0, 0))
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=())
 def encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray):
     """(B, N) u8 + (B,) i32 -> (L (B, N) u8, origins (B,) i32).
 
     Same cyclic-rotation BWT as encode_block (oracle parity) — identical
     suffix arrays including periodic ties (stable sorts, index tiebreak)."""
+    import numpy as np
+
+    all_full = bool((np.asarray(lengths) == blocks.shape[1]).all())
+    return _encode_batch_fast(blocks, lengths, all_full)
+
+
+@functools.partial(jax.jit, static_argnames=("all_full",))
+def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                       all_full: bool = False):
     b, n = blocks.shape
     lengths = jnp.asarray(lengths, jnp.int32)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
@@ -133,9 +141,8 @@ def encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray):
         [jnp.ones((b, 1), jnp.int32),
          (ks[:, 1:] != ks[:, :-1]).astype(jnp.int32)], axis=1)
     ranks_sorted = jnp.cumsum(changed, axis=1) - 1
-    rank0 = jnp.zeros((b, n), jnp.int32)
-    rank0 = jnp.put_along_axis(rank0, order, ranks_sorted, axis=1,
-                               inplace=False)
+    _, rank0 = lax.sort([order, ranks_sorted], dimension=1, num_keys=1,
+                        is_stable=True)
     rank0 = jnp.where(valid, rank0, big)
 
     def unique_done(rank):
@@ -149,11 +156,23 @@ def encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray):
         rank, k, done = state
         return (~done) & (k < n)
 
-    def body(state):
-        rank, k, _ = state
-        second = jnp.where(
+    # TPU cost note (measured v5e): random gathers/scatters run ~45M
+    # elem/s while the batched row sort runs ~244M keys/s — so the
+    # rank-at-offset fetch and the permutation inversion are reformulated
+    # as a roll and a sort.  The roll is exact only when every row is full
+    # (cyclic index (i+k) mod len == mod n); ragged batches keep the
+    # gather.
+
+    def second_at(rank, k):
+        if all_full:
+            return jnp.where(valid, jnp.roll(rank, -k, axis=1), big)
+        return jnp.where(
             valid, jnp.take_along_axis(rank, (idx + k) % safe_len, axis=1),
             big)
+
+    def body(state):
+        rank, k, _ = state
+        second = second_at(rank, k)
         kr, ksec, order = lax.sort([rank, second, idx], dimension=1,
                                    num_keys=2, is_stable=True)
         changed = jnp.concatenate(
@@ -161,8 +180,9 @@ def encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray):
              ((kr[:, 1:] != kr[:, :-1])
               | (ksec[:, 1:] != ksec[:, :-1])).astype(jnp.int32)], axis=1)
         rs = jnp.cumsum(changed, axis=1) - 1
-        nr = jnp.put_along_axis(jnp.zeros((b, n), jnp.int32), order, rs,
-                                axis=1, inplace=False)
+        # invert the permutation with a second sort (faster than scatter)
+        _, nr = lax.sort([order, rs], dimension=1, num_keys=1,
+                         is_stable=True)
         nr = jnp.where(valid, nr, big)
         return nr, k * 2, unique_done(nr)
 

@@ -650,3 +650,29 @@ def inflate_batch(comp_rows, comp_lens, out_n: int):
         outs[i, : len(out)] = np.frombuffer(out, np.uint8)
         lens[i] = len(out)
     return outs, lens
+
+
+def inflate_batch_planned(comp_rows, comp_lens, out_n: int):
+    """Host-parse/device-copy-plan inflate (mirrors lz4.decode_batch_
+    planned): the C++ parser does the bit-serial Huffman walk and emits a
+    literal array + per-byte source indices; the device executes the whole
+    batch as one bulk gather.  Returns (out (B, out_n) u8, olens)."""
+    from tpuzip.runtime import native
+
+    rows = np.asarray(comp_rows)
+    cl = np.asarray(comp_lens)
+    b = rows.shape[0]
+    plans = np.zeros((b, out_n), np.int32)
+    lits = np.zeros((b, out_n), np.uint8)
+    olens = np.zeros(b, np.int32)
+    for i in range(b):
+        if int(cl[i]) == 0:
+            continue
+        p, l = native.inflate_plan(rows[i, : int(cl[i])].tobytes(), out_n)
+        plans[i, : len(p)] = p
+        lits[i, : len(l)] = l
+        olens[i] = len(p)
+    jl = jnp.asarray(olens)
+    out = jnp.take_along_axis(jnp.asarray(lits), jnp.asarray(plans), axis=1)
+    mask = jnp.arange(out_n, dtype=jnp.int32)[None, :] < jl[:, None]
+    return np.asarray(jnp.where(mask, out, 0).astype(jnp.uint8)), olens

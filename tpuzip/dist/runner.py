@@ -203,6 +203,124 @@ def _pow2_bucket(m: int, lo: int, hi: int) -> int:
     return min(max(b, lo), hi)
 
 
+SEG_THRESHOLD = 1 << 20  # bwt blocks above this segment the entropy stage
+
+
+def _seg_geometry(n: int) -> tuple[int, int]:
+    """(seg_size, nseg) for a big-block entropy stage: <=128 segments,
+    seg_size a multiple of 256 (Pallas lane-kernel requirement)."""
+    seg = -(-n // 128)
+    seg = -(-seg // 256) * 256
+    return seg, -(-n // seg)
+
+
+def _encode_bwt_segmented(jb, jl, lengths, increment, threshold
+                          ) -> list[bytes]:
+    """Config-4 path (BASELINE configs[3], 100 MB blocks): the per-block
+    post-BWT stream is split into <=128 segments, each MTF+ari coded with
+    fresh state, so the lane kernels get full utilization from a SINGLE
+    giant block.  Fresh per-segment model state costs ~0.1% ratio on
+    multi-MB segments and is recorded as container flag bit 3.
+
+    Per-block payload:
+      [u32 origin][u16 nseg][u32 seg_size]
+      then nseg x: [u32 seg_olen][u32 idx_len][idx][stream]
+    """
+    from tpuzip.kernels import range_decoder as rdk
+
+    cs = rdk.CHUNK_STEPS
+    B, n = jb.shape
+    L, origins = jbwt.encode_batch_fast(jb, jl)
+    seg, nseg = _seg_geometry(n)
+    pad = seg * nseg - n
+    if pad:
+        L = jnp.pad(L, ((0, 0), (0, pad)))
+    Lseg = L.reshape(B * nseg, seg)
+    lens_np = np.asarray(lengths).astype(np.int64)
+    seg_lens = np.clip(lens_np[:, None] - seg * np.arange(nseg)[None, :],
+                       0, seg).astype(np.int32).reshape(-1)
+    jsl = jnp.array(seg_lens)
+    syms = _mtf_encode_auto(Lseg, jsl)
+    comp_np, slens_np, deltas = _ari_encode_indexed(
+        syms, jsl, increment=increment, threshold=threshold)
+    origins_np = np.asarray(origins)
+    blobs = []
+    for i in range(B):
+        parts = [struct.pack("<IHI", int(origins_np[i]), nseg, seg)]
+        for s in range(nseg):
+            k = i * nseg + s
+            nci = (int(seg_lens[k]) + cs - 1) // cs
+            idx = rdk.pack_chunk_index(deltas[k, :nci])
+            parts.append(struct.pack("<II", int(seg_lens[k]), len(idx)))
+            parts.append(idx)
+            parts.append(comp_np[k, : slens_np[k]].tobytes())
+        blobs.append(b"".join(parts))
+    return blobs
+
+
+def _decode_bwt_segmented(comp: np.ndarray, clens: np.ndarray,
+                          olens: np.ndarray, block_size: int, B: int,
+                          increment, threshold) -> np.ndarray:
+    from tpuzip.kernels import range_decoder as rdk
+
+    cs = rdk.CHUNK_STEPS
+    seg, nseg = _seg_geometry(block_size)
+    cap_s = jari.encode_cap(seg)
+    nc_full = (seg + cs - 1) // cs
+    Bp = comp.shape[0]
+    streams = np.zeros((Bp * nseg, cap_s), np.uint8)
+    deltas = np.zeros((Bp * nseg, nc_full), np.int32)
+    seg_lens = np.zeros(Bp * nseg, np.int32)
+    origins = np.zeros(Bp, np.int32)
+    for i in range(B):
+        if clens[i] == 0:
+            continue
+        blob = comp[i, : int(clens[i])].tobytes()
+        origins[i], ns, sg = struct.unpack_from("<IHI", blob, 0)
+        if ns != nseg or sg != seg:
+            raise CorruptStreamError([i])
+        pos = 10
+        for s in range(nseg):
+            k = i * nseg + s
+            sl, idxlen = struct.unpack_from("<II", blob, pos)
+            pos += 8
+            nci = (int(sl) + cs - 1) // cs
+            try:
+                deltas[k, :nci] = rdk.parse_chunk_index(
+                    blob[pos : pos + idxlen], nci)
+            except ValueError as e:
+                raise CorruptStreamError([i]) from e
+            pos += idxlen
+            # stream length = 4 initial code bytes + total renorm pulls
+            # (empty segments still carry the 4 finish bytes)
+            slen = int(deltas[k].sum()) + 4
+            streams[k, :slen] = np.frombuffer(blob, np.uint8, slen, pos)
+            pos += slen
+            seg_lens[k] = sl
+        if pos != len(blob):
+            raise BlockLengthError(f"bwt block {i}: trailing payload bytes")
+    if jax.devices()[0].platform == "tpu":
+        syms = np.zeros((Bp * nseg, seg), np.uint8)
+        L = rdk.LANES
+        for g in range(0, Bp * nseg, L):
+            gb = min(L, Bp * nseg - g)
+            syms[g : g + gb] = np.asarray(rdk.ari_decode_batch_kernel(
+                jnp.array(streams[g : g + gb]), deltas[g : g + gb],
+                jnp.array(seg_lens[g : g + gb]), seg,
+                increment=increment, threshold=threshold))
+    else:
+        syms = np.asarray(jax.jit(jax.vmap(
+            lambda c, l: jari.decode(c, l, seg, increment=increment,
+                                     threshold=threshold)))(
+            jnp.array(streams), jnp.array(seg_lens)))
+    Lseg = _mtf_encode_auto(jnp.array(syms), jnp.array(seg_lens),
+                            decode=True)
+    Lfull = jnp.reshape(Lseg, (Bp, nseg * seg))[:, :block_size]
+    out = jbwt.decode_batch_auto(Lfull, jnp.array(origins),
+                                 jnp.array(olens.astype(np.int32)))
+    return np.asarray(out)
+
+
 def _encode_ari_family(codec: str, jb, jl, lengths, increment: int = 8,
                        threshold: int = 1 << 13) -> list[bytes]:
     """Staged batch pipeline for the ari-backed codecs (VERDICT r1 items
@@ -216,11 +334,14 @@ def _encode_ari_family(codec: str, jb, jl, lengths, increment: int = 8,
     from tpuzip.kernels import range_decoder as rdk
 
     cs = rdk.CHUNK_STEPS
-    B = jb.shape[0]
+    B, n = jb.shape
     if codec == "ari":
         syms, sym_lens = jb, jl
         heads = [b""] * B
     elif codec == "bwt":
+        if n > SEG_THRESHOLD:
+            return _encode_bwt_segmented(jb, jl, lengths, increment,
+                                         threshold)
         L, origins = jbwt.encode_batch_fast(jb, jl)
         syms = _mtf_encode_auto(L, jl)
         sym_lens = jl
@@ -442,6 +563,8 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
             clens_np = np.array([len(p) for p in blobs], np.int64)
             payload = b"".join(blobs)
         flags |= 2
+        if codec == "bwt" and block_size > SEG_THRESHOLD:
+            flags |= 8  # segmented entropy stage (config-4 big blocks)
     else:
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
             if codec == "deflate":
@@ -548,7 +671,13 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     if Bp != B:
         clens = np.concatenate([clens, np.zeros(Bp - B, np.int64)])
         olens = np.concatenate([olens, np.zeros(Bp - B, np.int64)])
-    if codec in ("ari", "bwt", "bwtdc") and flags & 2:
+    if codec == "bwt" and flags & 8:
+        from tpuzip.kernels import range_decoder as rdk
+
+        seg, nseg = _seg_geometry(block_size)
+        nc_seg = (seg + rdk.CHUNK_STEPS - 1) // rdk.CHUNK_STEPS
+        cap = 10 + nseg * (8 + 3 * nc_seg + jari.encode_cap(seg))
+    elif codec in ("ari", "bwt", "bwtdc") and flags & 2:
         from tpuzip.kernels import range_decoder as rdk
 
         head = {"ari": 0, "bwt": 4, "bwtdc": 8}[codec]
@@ -586,7 +715,12 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     lsharding = meshlib.length_sharding(mesh)
     jc = jax.device_put(jnp.array(comp), sharding)
     jl = jax.device_put(jnp.array(clens.astype(np.int32)), lsharding)
-    if codec in ("ari", "bwt", "bwtdc") and flags & 2:
+    if codec == "bwt" and flags & 8:
+        with metrics.phase("decode", bytes_out=orig_len, blocks=B):
+            out_np = _decode_bwt_segmented(comp, clens, olens, block_size,
+                                           B, inc, thr)
+        errs = np.zeros(B)
+    elif codec in ("ari", "bwt", "bwtdc") and flags & 2:
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             out_np = _decode_ari_family(codec, comp, clens, olens,
                                         block_size, B, increment=inc,
@@ -601,7 +735,19 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     elif codec == "deflate":
         from tpuzip.codecs import deflate as jdef
 
-        out_np, got = jdef.inflate_batch(jc, jl, block_size)
+        use_plan = False
+        try:
+            from tpuzip.runtime import native
+
+            use_plan = native.available()
+        except Exception:
+            pass
+        with metrics.phase("decode", bytes_out=orig_len, blocks=B):
+            if use_plan:
+                out_np, got = jdef.inflate_batch_planned(comp, clens,
+                                                         block_size)
+            else:
+                out_np, got = jdef.inflate_batch(jc, jl, block_size)
         errs = np.zeros(B)
         bad = (got[:B].astype(np.int64) != olens[:B]) & (clens[:B] > 0)
         if bad.any():

@@ -177,13 +177,18 @@ def _decode_step(low, rng, code, ft, tot, posB, active, win_i, tri,
     v, _ = u32_div_exact(code - low, r)
     # no unsigned vector min in Mosaic (arith.minui) — compare+select
     v = jnp.where(v >= tot_u, tot_u - 1, v).astype(jnp.int32)
-    # find_value: cumulative table via triangular matmul.  Precision
-    # HIGHEST is load-bearing: the TPU MXU truncates f32 operands to bf16
-    # by default, which corrupts freqs > 256 (8-bit mantissa); the 6-pass
-    # f32 emulation keeps sums < 2^14 exact.
-    cum = jax.lax.dot_general(tri, ft, (((1,), (0,)), ((), ())),
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
+    # find_value: cumulative table via triangular matmul.  The TPU MXU
+    # truncates f32 operands to bf16 (8-bit mantissa), which corrupts
+    # freqs > 256 — so split freqs into hi/lo bytes (each bf16-exact) and
+    # run TWO single-pass matmuls instead of the 6-pass HIGHEST emulation;
+    # partial sums stay < 2^24 so f32 accumulation is exact.
+    ft_hi = jnp.floor(ft * (1.0 / 256.0))
+    ft_lo = ft - ft_hi * 256.0
+    dn = (((1,), (0,)), ((), ()))
+    cum = (jax.lax.dot_general(tri, ft_hi, dn,
+                               preferred_element_type=jnp.float32) * 256.0
+           + jax.lax.dot_general(tri, ft_lo, dn,
+                                 preferred_element_type=jnp.float32))
     v_f = v.astype(jnp.float32)
     sym = jnp.sum((cum <= v_f[None, :]).astype(jnp.int32), axis=0)
     onehot = iota256 == sym[None, :]

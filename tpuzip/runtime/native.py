@@ -57,6 +57,11 @@ def get_lib():
     lib.tpz_ari_decode.argtypes = [u8p, i64, u8p, i64, u32, u32]
     lib.tpz_lz4_decode_plan.restype = i64
     lib.tpz_lz4_decode_plan.argtypes = [u8p, i64, i32p, i64]
+    lib.tpz_inflate.restype = i64
+    lib.tpz_inflate.argtypes = [u8p, i64, u8p, i64]
+    lib.tpz_inflate_plan.restype = i64
+    lib.tpz_inflate_plan.argtypes = [u8p, i64, i32p, u8p, i64,
+                                     ctypes.POINTER(ctypes.c_int64)]
     lib.tpz_pack_payloads.restype = i64
     lib.tpz_pack_payloads.argtypes = [u8p, i64, i64, i32p, u8p, i64]
     lib.tpz_unpack_payloads.restype = i64
@@ -118,6 +123,28 @@ def lz4_decode_plan(data: bytes, out_cap: int) -> np.ndarray:
     if n < 0:
         raise ValueError("tpz_lz4_decode_plan failed (corrupt stream)")
     return plan[:n]
+
+
+def inflate(data: bytes, out_cap: int) -> bytes:
+    """RFC 1951 inflate at host speed (production decode for the deflate
+    container; the device symbol loop is the TPU formulation)."""
+    return _run2("tpz_inflate", data, out_cap)
+
+
+def inflate_plan(data: bytes, out_cap: int):
+    """Host bit-serial Huffman -> (plan i32[:out_len], lits u8[:nlit]):
+    out[i] = lits[plan[i]].  The device materializes the output with one
+    bulk gather (codecs.deflate.inflate_batch_planned)."""
+    lib = get_lib()
+    src = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    plan = np.zeros(max(out_cap, 1), np.int32)
+    lits = np.zeros(max(out_cap, 1), np.uint8)
+    nl = ctypes.c_int64(0)
+    n = lib.tpz_inflate_plan(_u8(src), len(data), _i32(plan), _u8(lits),
+                             out_cap, ctypes.byref(nl))
+    if n < 0:
+        raise ValueError("tpz_inflate_plan failed (corrupt stream)")
+    return plan[:n], lits[: nl.value]
 
 
 def rle_encode(data: bytes) -> bytes:
