@@ -248,6 +248,145 @@ def _tri256():
     return (r2 >= c2).astype(jnp.float32)  # inclusive cumsum
 
 
+# ---------------------------------------------------------------------------
+# v2 step: incremental cumulative-table state (no per-step matmul)
+# ---------------------------------------------------------------------------
+
+def _shift_down(x, k):
+    """Rows shifted down by k (zeros shifted in) via static slice+concat —
+    no dynamic ops, Mosaic-safe."""
+    return jnp.concatenate(
+        [jnp.zeros((k,) + x.shape[1:], x.dtype), x[:-k]], axis=0)
+
+
+def _halved_cumsum(cum):
+    """Given the inclusive cumulative table, halve every frequency
+    ((f+1)>>1, the oracle downscale) and return the new cumulative table
+    + its totals, via a log-tree cumsum (f32-exact: sums < 2^14)."""
+    freq = cum - _shift_down(cum, 1)
+    sf = jnp.floor((freq + 1.0) * 0.5)
+    for k in (1, 2, 4, 8, 16, 32, 64, 128):
+        sf = sf + _shift_down(sf, k)
+    return sf, sf[255, :]
+
+
+def _decode_step_cum(low, rng, code, cum, tot, posB, active, win_i,
+                     iotaW, increment: int):
+    """v2 decode step on cumulative-table state.  Returns the non-scale
+    state update + (sym, gt); the caller applies the (rare) halving
+    downscale — gated with pl.when in the kernel, unconditional where() in
+    the XLA reference — so both paths share this exact math."""
+    inc_f = float(increment)
+    tot_u = tot.astype(jnp.uint32)
+    r, _ = u32_div_exact(rng, tot_u)
+    v, _ = u32_div_exact(code - low, r)
+    v = jnp.where(v >= tot_u, tot_u - 1, v).astype(jnp.int32)
+    v_f = v.astype(jnp.float32)
+    # find_value from the cumulative table alone: positions s >= sym are
+    # exactly those with cum[s] > v
+    gt = cum > v_f[None, :]
+    sym = 256 - jnp.sum(gt.astype(jnp.int32), axis=0)
+    big = jnp.float32(1 << 20)
+    cum_hi = jnp.min(jnp.where(gt, cum, big), axis=0)
+    cum_lo = jnp.max(jnp.where(gt, 0.0, cum), axis=0)
+    cum_lo_u = cum_lo.astype(jnp.int32).astype(jnp.uint32)
+    f_u = (cum_hi - cum_lo).astype(jnp.int32).astype(jnp.uint32)
+    low2 = low + r * cum_lo_u
+    rng2 = r * f_u
+    # fetch the next 4 stream bytes (same mechanics as v1)
+    widx = posB >> 2
+    m0 = iotaW == widx[None, :]
+    m1 = iotaW == (widx + 1)[None, :]
+    w0 = jnp.sum(jnp.where(m0, win_i, 0), axis=0).astype(jnp.uint32)
+    w1 = jnp.sum(jnp.where(m1, win_i, 0), axis=0).astype(jnp.uint32)
+    b = posB & 3
+    wrd = jnp.where(
+        b == 0, w0,
+        jnp.where(b == 1, (w0 << 8) | (w1 >> 24),
+                  jnp.where(b == 2, (w0 << 16) | (w1 >> 16),
+                            (w0 << 24) | (w1 >> 8))))
+    pulled = jnp.zeros_like(posB)
+    for rd_ in range(4):
+        settled = ((low2 ^ (low2 + rng2)) < TOP)
+        force = (~settled) & (rng2 < BOT)
+        rng2 = jnp.where(force, (~low2 + 1) & (BOT - 1), rng2)
+        pull = (settled | force) & active
+        byte = wrd >> 24
+        for kk in range(1, rd_ + 1):
+            byte = jnp.where(pulled == kk, (wrd >> (24 - 8 * kk)), byte)
+        byte = byte & jnp.uint32(0xFF)
+        code = jnp.where(pull, (code << 8) | byte, code)
+        low2 = jnp.where(pull, low2 << 8, low2)
+        rng2 = jnp.where(pull, rng2 << 8, rng2)
+        pulled = pulled + pull.astype(jnp.int32)
+    posB = posB + jnp.where(active, pulled, 0)
+    # model update: freq[sym] += inc  <=>  cum[s] += inc for s >= sym (gt)
+    cum2 = jnp.where(gt & active[None, :], cum + inc_f, cum)
+    tot2 = jnp.where(active, tot + increment, tot)
+    low = jnp.where(active, low2, low)
+    rng = jnp.where(active, rng2, rng)
+    return low, rng, code, cum2, tot2, posB, sym
+
+
+def _apply_halving_gated(cum, tot, active, threshold: int):
+    """Oracle downscale, executed only when some active lane crosses the
+    threshold (every ~(threshold-256)/increment symbols): lax.cond lowers
+    to a real branch under a scalar predicate in both Mosaic and XLA."""
+    scale = active & (tot >= threshold)
+
+    def yes(ct):
+        c, t = ct
+        ns, ntots = _halved_cumsum(c)
+        c2 = jnp.where(scale[None, :], ns, c)
+        t2 = jnp.where(scale, ntots.astype(jnp.int32), t)
+        return c2, t2
+
+    return jax.lax.cond(jnp.any(scale), yes, lambda ct: ct, (cum, tot))
+
+
+def _ari_decode_kernel_v2(win_ref, code0_ref, len_ref, out_ref,
+                          low_r, rng_r, code_r, cum_r, total, *,
+                          increment: int, threshold: int, w: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        low_r[0, :] = jnp.zeros((LANES,), jnp.uint32)
+        rng_r[0, :] = jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32)
+        code_r[0, :] = code0_ref[0, :]
+        cum_r[:, :] = (jax.lax.broadcasted_iota(
+            jnp.int32, (256, LANES), 0) + 1).astype(jnp.float32)
+        total[0, :] = jnp.full((LANES,), 256, jnp.int32)
+
+    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    win_i = win_ref[:, :].astype(jnp.int32)
+    lens = len_ref[0, :]
+
+    def group_body(g, posB):
+        rows = []
+        low = low_r[0, :]
+        rng = rng_r[0, :]
+        code = code_r[0, :]
+        cum = cum_r[:, :]
+        tot = total[0, :]
+        for j in range(GROUP):
+            step = pl.program_id(0) * CHUNK_STEPS + g * GROUP + j
+            active = step < lens
+            low, rng, code, cum, tot, posB, sym = _decode_step_cum(
+                low, rng, code, cum, tot, posB, active, win_i, iotaW,
+                increment)
+            cum, tot = _apply_halving_gated(cum, tot, active, threshold)
+            rows.append(sym.astype(jnp.uint8))
+        low_r[0, :] = low
+        rng_r[0, :] = rng
+        code_r[0, :] = code
+        cum_r[:, :] = cum
+        total[0, :] = tot
+        out_ref[pl.ds(g * GROUP, GROUP), :] = jnp.stack(rows)
+        return posB
+
+    jax.lax.fori_loop(0, CHUNK_STEPS // GROUP, group_body,
+                      jnp.zeros((LANES,), jnp.int32))
+
+
 def _ari_decode_kernel(win_ref, code0_ref, len_ref, out_ref,
                        low_r, rng_r, code_r, freq, total, tri, *,
                        increment: int, threshold: int, w: int):
@@ -296,21 +435,47 @@ def _ari_decode_kernel(win_ref, code0_ref, len_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("w", "increment", "threshold",
-                                    "interpret"))
+                                    "interpret", "algo"))
 def ari_decode_lanes(windows: jnp.ndarray, code0: jnp.ndarray,
                      lens: jnp.ndarray, w: int = W_BUCKETS[-1],
                      increment: int = 8, threshold: int = 1 << 13,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     algo: str = "cum") -> jnp.ndarray:
     """windows: (NC*w, LANES) u32 prepacked chunk windows; code0 (LANES,)
     u32 = first 4 stream bytes BE; lens (LANES,) i32 symbol counts.
-    Returns (NC*CHUNK_STEPS, LANES) u8 decoded symbols (time-major)."""
+    Returns (NC*CHUNK_STEPS, LANES) u8 decoded symbols (time-major).
+
+    algo="cum": incremental cumulative-table state, halving gated behind a
+    real branch (the fast path).  algo="dot": per-step matmul recompute
+    (the v1 formulation, kept for A/B)."""
     total_rows, lanes = windows.shape
     assert lanes == LANES and total_rows % w == 0
     nc = total_rows // w
     n = nc * CHUNK_STEPS
+    if algo == "cum":
+        kern = functools.partial(_ari_decode_kernel_v2,
+                                 increment=increment,
+                                 threshold=threshold, w=w)
+        scratch = [
+            pltpu.VMEM((1, LANES), jnp.uint32),     # low
+            pltpu.VMEM((1, LANES), jnp.uint32),     # range
+            pltpu.VMEM((1, LANES), jnp.uint32),     # code
+            pltpu.VMEM((256, LANES), jnp.float32),  # cumulative table
+            pltpu.VMEM((1, LANES), jnp.int32),      # total
+        ]
+    else:
+        kern = functools.partial(_ari_decode_kernel, increment=increment,
+                                 threshold=threshold, w=w)
+        scratch = [
+            pltpu.VMEM((1, LANES), jnp.uint32),     # low
+            pltpu.VMEM((1, LANES), jnp.uint32),     # range
+            pltpu.VMEM((1, LANES), jnp.uint32),     # code
+            pltpu.VMEM((256, LANES), jnp.float32),  # freq
+            pltpu.VMEM((1, LANES), jnp.int32),      # total
+            pltpu.VMEM((256, 256), jnp.float32),    # cumsum triangle
+        ]
     return pl.pallas_call(
-        functools.partial(_ari_decode_kernel, increment=increment,
-                          threshold=threshold, w=w),
+        kern,
         out_shape=jax.ShapeDtypeStruct((n, LANES), jnp.uint8),
         grid=(nc,),
         in_specs=[
@@ -323,25 +488,19 @@ def ari_decode_lanes(windows: jnp.ndarray, code0: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((CHUNK_STEPS, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, LANES), jnp.uint32),    # low
-            pltpu.VMEM((1, LANES), jnp.uint32),    # range
-            pltpu.VMEM((1, LANES), jnp.uint32),    # code
-            pltpu.VMEM((256, LANES), jnp.float32),  # freq
-            pltpu.VMEM((1, LANES), jnp.int32),     # total
-            pltpu.VMEM((256, 256), jnp.float32),   # cumsum triangle
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(windows, code0.reshape(1, LANES).astype(jnp.uint32),
       lens.reshape(1, LANES).astype(jnp.int32))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w", "increment", "threshold"))
+                   static_argnames=("w", "increment", "threshold", "algo"))
 def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
                          lens: jnp.ndarray, w: int = W_BUCKETS[-1],
-                         increment: int = 8, threshold: int = 1 << 13):
-    """Pure-XLA replica of the Pallas kernel (same _decode_step, nested
+                         increment: int = 8, threshold: int = 1 << 13,
+                         algo: str = "cum"):
+    """Pure-XLA replica of the Pallas kernels (same step functions, nested
     lax.scan instead of a grid) — CPU-testable ground truth for the kernel
     wiring, since interpret mode trips a jax lowering bug."""
     total_rows, lanes = windows.shape
@@ -360,9 +519,15 @@ def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
         def step_body(c2, j):
             low, rng, code, ft, tot, posB = c2
             active = (k * CHUNK_STEPS + j) < lens
-            low, rng, code, ft, tot, posB, sym = _decode_step(
-                low, rng, code, ft, tot, posB, active, win_i, tri,
-                iota256, iotaW, increment, threshold)
+            if algo == "cum":
+                low, rng, code, ft, tot, posB, sym = _decode_step_cum(
+                    low, rng, code, ft, tot, posB, active, win_i, iotaW,
+                    increment)
+                ft, tot = _apply_halving_gated(ft, tot, active, threshold)
+            else:
+                low, rng, code, ft, tot, posB, sym = _decode_step(
+                    low, rng, code, ft, tot, posB, active, win_i, tri,
+                    iota256, iotaW, increment, threshold)
             return (low, rng, code, ft, tot, posB), sym.astype(jnp.uint8)
 
         (low, rng, code, ft, tot, _), syms = jax.lax.scan(
@@ -371,10 +536,15 @@ def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
             jnp.arange(CHUNK_STEPS, dtype=jnp.int32))
         return (low, rng, code, ft, tot), syms
 
+    if algo == "cum":
+        table0 = (jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+                  + 1).astype(jnp.float32)
+    else:
+        table0 = jnp.ones((256, LANES), jnp.float32)
     init = (jnp.zeros((LANES,), jnp.uint32),
             jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32),
             code0.astype(jnp.uint32),
-            jnp.ones((256, LANES), jnp.float32),
+            table0,
             jnp.full((LANES,), 256, jnp.int32))
     _, syms = jax.lax.scan(chunk_body, init,
                            (win_chunks, jnp.arange(nc, dtype=jnp.int32)))
