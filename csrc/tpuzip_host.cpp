@@ -6,6 +6,7 @@
 //
 // Build: make -C csrc   (produces libtpuzip_host.so; loaded via ctypes)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -486,6 +487,272 @@ int64_t tpz_inflate_plan(const uint8_t* src, int64_t n, int32_t* plan,
   }
   *nlit_out = nl;
   return o;
+}
+
+// ---------------------------------------------------------------- deflate
+// RFC 1951 encoder (production host path; the device bulk stages in
+// codecs/deflate.py are the TPU formulation).  Greedy hash-chain LZ77 +
+// package-merge length-limited dynamic Huffman, one final block.
+namespace {
+
+struct BitWr {
+  uint8_t* p;
+  int64_t cap, pos = 0;
+  uint64_t buf = 0;
+  int cnt = 0;
+  bool ok = true;
+  void bits(uint32_t v, int k) {
+    buf |= (uint64_t)v << cnt;
+    cnt += k;
+    while (cnt >= 8) {
+      if (pos >= cap) { ok = false; cnt = 0; return; }
+      p[pos++] = (uint8_t)buf;
+      buf >>= 8;
+      cnt -= 8;
+    }
+  }
+  void flush() {
+    if (cnt && pos < cap) { p[pos++] = (uint8_t)buf; buf = 0; cnt = 0; }
+  }
+};
+
+// package-merge: optimal length-limited code lengths for freqs > 0
+void package_merge(const int32_t* freq, int n, int maxbits,
+                   uint8_t* lens) {
+  struct Item { int64_t w; std::vector<int16_t> syms; };
+  std::vector<int16_t> active;
+  for (int s = 0; s < n; ++s) {
+    lens[s] = 0;
+    if (freq[s] > 0) active.push_back((int16_t)s);
+  }
+  if (active.empty()) return;
+  if (active.size() == 1) { lens[active[0]] = 1; return; }
+  std::vector<Item> prev;
+  for (int level = 0; level < maxbits; ++level) {
+    std::vector<Item> cur;
+    for (int16_t s : active) cur.push_back({freq[s], {s}});
+    for (size_t i = 0; i + 1 < prev.size(); i += 2) {
+      Item m{prev[i].w + prev[i + 1].w, prev[i].syms};
+      m.syms.insert(m.syms.end(), prev[i + 1].syms.begin(),
+                    prev[i + 1].syms.end());
+      cur.push_back(std::move(m));
+    }
+    std::sort(cur.begin(), cur.end(),
+              [](const Item& a, const Item& b) { return a.w < b.w; });
+    prev = std::move(cur);
+  }
+  size_t take = 2 * active.size() - 2;
+  for (size_t i = 0; i < take && i < prev.size(); ++i)
+    for (int16_t s : prev[i].syms) lens[s]++;
+}
+
+void canon_codes(const uint8_t* lens, int n, uint16_t* codes) {
+  int cnt[16] = {0};
+  for (int i = 0; i < n; ++i) cnt[lens[i]]++;
+  cnt[0] = 0;
+  uint32_t code = 0;
+  uint32_t next[16] = {0};
+  for (int l = 1; l < 16; ++l) {
+    code = (code + cnt[l - 1]) << 1;
+    next[l] = code;
+  }
+  for (int i = 0; i < n; ++i) {
+    if (!lens[i]) { codes[i] = 0; continue; }
+    uint32_t c = next[lens[i]]++;
+    // bit-reverse to LSB-first emission order
+    uint32_t r = 0;
+    for (int k = 0; k < lens[i]; ++k) r |= ((c >> k) & 1) << (lens[i] - 1 - k);
+    codes[i] = (uint16_t)r;
+  }
+}
+
+int len_code_of(int l) {
+  for (int i = 28; i >= 0; --i)
+    if (l >= kLenBase[i]) return i;
+  return 0;
+}
+
+int dist_code_of(int64_t d) {
+  for (int i = 29; i >= 0; --i)
+    if (d >= kDistBase[i]) return i;
+  return 0;
+}
+
+}  // namespace
+
+int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
+                    int64_t cap, int max_chain) {
+  // ---- greedy hash-chain LZ77
+  const int HB = 15, MINM = 3, MAXM = 258;
+  const int64_t WIN = 32768;
+  std::vector<int32_t> head(1 << HB, -1), prevc(n > 0 ? n : 1, -1);
+  std::vector<int32_t> lit, mlens, mdists;
+  lit.reserve(n + 1);
+  mlens.reserve(n + 1);
+  mdists.reserve(n + 1);
+  auto hash3 = [&](int64_t i) {
+    uint32_t v = src[i] | (src[i + 1] << 8) | ((uint32_t)src[i + 2] << 16);
+    return (v * 2654435761u) >> (32 - HB);
+  };
+  auto insert = [&](int64_t i) {
+    if (i + 2 < n) {
+      uint32_t h = hash3(i);
+      prevc[i] = head[h];
+      head[h] = (int32_t)i;
+    }
+  };
+  int64_t i = 0;
+  while (i < n) {
+    int best = 0;
+    int64_t bestd = 0;
+    if (i + MINM <= n && i + 2 < n) {
+      int32_t c = head[hash3(i)];
+      int chain = max_chain;
+      int lim = (int)std::min<int64_t>(MAXM, n - i);
+      while (c >= 0 && i - c <= WIN && chain-- > 0) {
+        int l = 0;
+        while (l < lim && src[c + l] == src[i + l]) ++l;
+        if (l > best) {
+          best = l;
+          bestd = i - c;
+          if (l >= lim) break;
+        }
+        c = prevc[c];
+      }
+    }
+    if (best >= MINM) {
+      lit.push_back(-1);
+      mlens.push_back(best);
+      mdists.push_back((int32_t)bestd);
+      for (int64_t e = i + best; i < e; ++i) insert(i);
+    } else {
+      lit.push_back(src[i]);
+      mlens.push_back(0);
+      mdists.push_back(0);
+      insert(i);
+      ++i;
+    }
+  }
+  // ---- histograms
+  int32_t lfreq[286] = {0}, dfreq[30] = {0};
+  for (size_t t = 0; t < lit.size(); ++t) {
+    if (lit[t] >= 0) {
+      lfreq[lit[t]]++;
+    } else {
+      lfreq[257 + len_code_of(mlens[t])]++;
+      dfreq[dist_code_of(mdists[t])]++;
+    }
+  }
+  lfreq[256] = 1;  // EOB
+  uint8_t llen[286] = {0}, dlen[30] = {0};
+  package_merge(lfreq, 286, 15, llen);
+  package_merge(dfreq, 30, 15, dlen);
+  {
+    // degenerate tables need >= 1 code (and dist table >= 1 length even
+    // when unused, to keep common inflators happy)
+    int nl = 0;
+    for (int s = 0; s < 286; ++s) nl += llen[s] != 0;
+    if (nl == 1)
+      for (int s = 0; s < 286; ++s)
+        if (llen[s]) { llen[s] = 1; llen[s ? 0 : 1] = 1; break; }
+    int nd = 0;
+    for (int s = 0; s < 30; ++s) nd += dlen[s] != 0;
+    if (nd == 0) dlen[0] = 1;
+    if (nd == 1)
+      for (int s = 0; s < 30; ++s)
+        if (dlen[s]) { dlen[s] = 1; break; }
+  }
+  uint16_t lcode[286], dcode[30];
+  canon_codes(llen, 286, lcode);
+  canon_codes(dlen, 30, dcode);
+
+  // ---- dynamic header: code-length alphabet with 16/17/18 runs
+  int hlit = 286, hdist = 30;
+  while (hlit > 257 && llen[hlit - 1] == 0) --hlit;
+  while (hdist > 1 && dlen[hdist - 1] == 0) --hdist;
+  uint8_t all[316];
+  int nall = 0;
+  for (int s = 0; s < hlit; ++s) all[nall++] = llen[s];
+  for (int s = 0; s < hdist; ++s) all[nall++] = dlen[s];
+  // RLE the length sequence
+  int clsym[350], clextra[350], clbits[350];
+  int ncl = 0;
+  int32_t clfreq[19] = {0};
+  for (int s = 0; s < nall;) {
+    int v = all[s], run = 1;
+    while (s + run < nall && all[s + run] == v) ++run;
+    const int run0 = run;
+    if (v == 0) {
+      while (run >= 3) {
+        int take = run > 138 ? 138 : run;
+        if (take >= 11) {
+          clsym[ncl] = 18; clextra[ncl] = take - 11; clbits[ncl] = 7;
+        } else {
+          clsym[ncl] = 17; clextra[ncl] = take - 3; clbits[ncl] = 3;
+        }
+        clfreq[clsym[ncl]]++; ++ncl; run -= take;
+      }
+      while (run-- > 0) { clsym[ncl] = 0; clextra[ncl] = 0;
+        clbits[ncl] = 0; clfreq[0]++; ++ncl; }
+    } else {
+      clsym[ncl] = v; clextra[ncl] = 0; clbits[ncl] = 0;
+      clfreq[v]++; ++ncl; --run;
+      while (run >= 3) {
+        int take = run > 6 ? 6 : run;
+        clsym[ncl] = 16; clextra[ncl] = take - 3; clbits[ncl] = 2;
+        clfreq[16]++; ++ncl; run -= take;
+      }
+      while (run-- > 0) { clsym[ncl] = v; clextra[ncl] = 0;
+        clbits[ncl] = 0; clfreq[v]++; ++ncl; }
+    }
+    s += run0;
+  }
+  uint8_t cllen[19] = {0};
+  package_merge(clfreq, 19, 7, cllen);
+  {
+    int nc = 0;
+    for (int s = 0; s < 19; ++s) nc += cllen[s] != 0;
+    if (nc == 1)
+      for (int s = 0; s < 19; ++s)
+        if (cllen[s]) { cllen[s] = 1; cllen[s ? 0 : 1] = 1; break; }
+  }
+  uint16_t clcode[19];
+  canon_codes(cllen, 19, clcode);
+  static const int ord[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,
+                              1,15};
+  int hclen = 19;
+  while (hclen > 4 && cllen[ord[hclen - 1]] == 0) --hclen;
+
+  // ---- emit
+  BitWr bw{dst, cap};
+  bw.bits(1, 1);  // BFINAL
+  bw.bits(2, 2);  // dynamic
+  bw.bits((uint32_t)(hlit - 257), 5);
+  bw.bits((uint32_t)(hdist - 1), 5);
+  bw.bits((uint32_t)(hclen - 4), 4);
+  for (int s = 0; s < hclen; ++s) bw.bits(cllen[ord[s]], 3);
+  for (int t = 0; t < ncl; ++t) {
+    bw.bits(clcode[clsym[t]], cllen[clsym[t]]);
+    if (clbits[t]) bw.bits((uint32_t)clextra[t], clbits[t]);
+  }
+  for (size_t t = 0; t < lit.size(); ++t) {
+    if (lit[t] >= 0) {
+      bw.bits(lcode[lit[t]], llen[lit[t]]);
+    } else {
+      int lc = len_code_of(mlens[t]);
+      bw.bits(lcode[257 + lc], llen[257 + lc]);
+      if (kLenEb[lc]) bw.bits((uint32_t)(mlens[t] - kLenBase[lc]),
+                              kLenEb[lc]);
+      int dc = dist_code_of(mdists[t]);
+      bw.bits(dcode[dc], dlen[dc]);
+      if (kDistEb[dc]) bw.bits((uint32_t)(mdists[t] - kDistBase[dc]),
+                               kDistEb[dc]);
+    }
+  }
+  bw.bits(lcode[256], llen[256]);
+  bw.flush();
+  if (!bw.ok) return -1;
+  return bw.pos;
 }
 
 // ---------------------------------------------------------------- RLE

@@ -565,13 +565,33 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         flags |= 2
         if codec == "bwt" and block_size > SEG_THRESHOLD:
             flags |= 8  # segmented entropy stage (config-4 big blocks)
+    elif codec == "deflate":
+        native_ok = False
+        try:
+            from tpuzip.runtime import native
+
+            native_ok = native.available()
+        except Exception:
+            pass
+        with metrics.phase("encode", bytes_in=len(data), blocks=B):
+            if native_ok:
+                # production host encoder (178 MB/s C++, zlib-accepted);
+                # deflate_batch is the device formulation + cross-check
+                mc = config.codec.deflate.max_chain
+                blobs = [native.deflate(
+                    blocks[i, : lengths[i]].tobytes(), mc)
+                    for i in range(B)]
+                clens_np = np.array([len(p) for p in blobs], np.int64)
+                payload = b"".join(blobs)
+            else:
+                comp, clens = enc(jb, jl)
+                clens_np = np.asarray(clens).astype(np.int64)
+                comp_np = np.asarray(comp)
+                payload = b"".join(
+                    comp_np[i, : clens_np[i]].tobytes() for i in range(B))
     else:
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
-            if codec == "deflate":
-                # host dispatch inside (Huffman table stage)
-                comp, clens = enc(jb, jl)
-            else:
-                comp, clens = jax.jit(enc)(jb, jl)
+            comp, clens = jax.jit(enc)(jb, jl)
             clens_np = np.asarray(clens).astype(np.int64)
         with metrics.phase("assemble"):
             payload = _assemble_payload(mesh, comp, clens, clens_np, B)

@@ -62,6 +62,8 @@ def get_lib():
     lib.tpz_inflate_plan.restype = i64
     lib.tpz_inflate_plan.argtypes = [u8p, i64, i32p, u8p, i64,
                                      ctypes.POINTER(ctypes.c_int64)]
+    lib.tpz_deflate.restype = i64
+    lib.tpz_deflate.argtypes = [u8p, i64, u8p, i64, ctypes.c_int]
     lib.tpz_pack_payloads.restype = i64
     lib.tpz_pack_payloads.argtypes = [u8p, i64, i64, i32p, u8p, i64]
     lib.tpz_unpack_payloads.restype = i64
@@ -123,6 +125,14 @@ def lz4_decode_plan(data: bytes, out_cap: int) -> np.ndarray:
     if n < 0:
         raise ValueError("tpz_lz4_decode_plan failed (corrupt stream)")
     return plan[:n]
+
+
+def deflate(data: bytes, max_chain: int = 64) -> bytes:
+    """RFC 1951 encoder (greedy hash-chain LZ77 + package-merge dynamic
+    Huffman); streams accepted by stock zlib.  Production host encode for
+    the deflate container — the device bulk stages are the TPU
+    formulation."""
+    return _run2("tpz_deflate", data, 2 * len(data) + 4096, max_chain)
 
 
 def inflate(data: bytes, out_cap: int) -> bytes:
