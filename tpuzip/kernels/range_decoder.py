@@ -110,6 +110,11 @@ def chunk_deltas(counts: jnp.ndarray) -> jnp.ndarray:
 
 def pack_chunk_index(deltas: np.ndarray) -> bytes:
     """u8 stream with 255-escape (255, lo, hi) for deltas in [255, 256]."""
+    deltas = np.asarray(deltas)
+    if deltas.size == 0:
+        return b""
+    if deltas.max(initial=0) < 255:  # overwhelmingly common: pure u8 cast
+        return deltas.astype(np.uint8).tobytes()
     out = bytearray()
     for d in deltas:
         d = int(d)
@@ -121,6 +126,8 @@ def pack_chunk_index(deltas: np.ndarray) -> bytes:
 
 
 def parse_chunk_index(blob: bytes, nc: int) -> np.ndarray:
+    if len(blob) == nc and (nc == 0 or b"\xff" not in blob):
+        return np.frombuffer(blob, np.uint8).astype(np.int32)
     deltas = np.zeros(nc, np.int32)
     i = 0
     for k in range(nc):
