@@ -158,5 +158,36 @@ def main():
           "dec_MBps": round(len(big) / dec_s / 1e6, 1)})
 
 
+def quick_bwt():
+    """Re-measure the BWT forward after the h=6 + fused-final-sort tweaks."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from tpuzip.codecs import bwt as jbwt
+
+    B, N = 128, 1 << 16
+    data = make_corpus(N * B)
+    jb = jnp.array(np.frombuffer(data, np.uint8).reshape(B, N))
+    jl = jnp.full(B, N, jnp.int32)
+    f = jax.jit(lambda b_, l: jnp.sum(
+        jbwt._encode_batch_fast(b_, l, True)[0][:4, :4].astype(jnp.int32)))
+    int(f(jb, jl))
+    s = timed(lambda: int(f(jb, jl)))
+    emit({"bench": "bwt_encode_fast_v3", "MBps": round(N * B / s / 1e6, 1)})
+    # correctness spot check on chip vs oracle
+    from tpuzip.oracle import bwt as obwt
+
+    L, orgs = jbwt.encode_batch_fast(jb, jl)
+    L0 = np.asarray(L[0])
+    expL, expo = obwt.encode_block(bytes(np.asarray(jb[0])))
+    emit({"stage": "v3 fwd bit-exact", "ok":
+          L0.tobytes() == expL and int(orgs[0]) == expo})
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "bwt":
+        sys.exit(quick_bwt())
     sys.exit(main())

@@ -98,9 +98,10 @@ decode_batch = jax.vmap(decode_block, in_axes=(0, 0, 0))
 # Batched fast paths (round 2).  lax.sort throughput rises steeply with
 # size (41 ms fixed cost per call on the target chip), so the whole block
 # batch sorts in ONE row-wise lax.sort per doubling round instead of a
-# vmapped per-block sort; the first round ranks by FOUR cyclic bytes packed
-# into one key (two doublings for free); a while_loop exits as soon as
-# every row's ranks are unique (text resolves long before log2(N) rounds).
+# vmapped per-block sort; the first round ranks by SIX cyclic bytes as two
+# 3-byte keys (h=6 head start); a while_loop exits as soon as every row's
+# ranks are unique (text resolves long before log2(N) rounds), and the
+# resolving round's sort order doubles as the suffix array.
 # ---------------------------------------------------------------------------
 
 import functools
@@ -128,18 +129,24 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     safe_len = jnp.maximum(lengths, 1)[:, None]
     d = blocks.astype(jnp.int32)
 
-    # initial rank: THREE cyclic bytes packed big-endian (h=3 head start;
-    # 4 bytes would overflow i32 sign for leading bytes >= 128)
+    # initial rank: SIX cyclic bytes as two 3-byte keys (a full 4-byte
+    # pack would overflow i32 sign for leading bytes >= 128); h=6 start
     def cyc(k):
+        if all_full:  # cyclic shift == roll; avoids a 45M-elem/s gather
+            return jnp.roll(d, -k, axis=1)
         return jnp.take_along_axis(d, (idx + k) % safe_len, axis=1)
 
-    key4 = (cyc(0) << 16) | (cyc(1) << 8) | cyc(2)
-    key4 = jnp.where(valid, key4, jnp.int32(0x7FFFFFFF))
-    ks, order = lax.sort([key4, idx], dimension=1, num_keys=1,
-                         is_stable=True)
+    h0 = 12 if all_full else 6
+    keys = [(cyc(3 * j) << 16) | (cyc(3 * j + 1) << 8) | cyc(3 * j + 2)
+            for j in range(h0 // 3)]
+    keys = [jnp.where(valid, kk, jnp.int32(0x7FFFFFFF)) for kk in keys]
+    *ks, order = lax.sort(keys + [idx], dimension=1, num_keys=len(keys),
+                          is_stable=True)
+    diff = (ks[0][:, 1:] != ks[0][:, :-1])
+    for kk in ks[1:]:
+        diff = diff | (kk[:, 1:] != kk[:, :-1])
     changed = jnp.concatenate(
-        [jnp.ones((b, 1), jnp.int32),
-         (ks[:, 1:] != ks[:, :-1]).astype(jnp.int32)], axis=1)
+        [jnp.ones((b, 1), jnp.int32), diff.astype(jnp.int32)], axis=1)
     ranks_sorted = jnp.cumsum(changed, axis=1) - 1
     _, rank0 = lax.sort([order, ranks_sorted], dimension=1, num_keys=1,
                         is_stable=True)
@@ -151,10 +158,6 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
         mx = jnp.max(jnp.where(rank == big, -1, rank), axis=1)
         cnt = jnp.minimum(lengths, n)
         return jnp.all((mx + 1) == cnt)
-
-    def cond(state):
-        rank, k, done = state
-        return (~done) & (k < n)
 
     # TPU cost note (measured v5e): random gathers/scatters run ~45M
     # elem/s while the batched row sort runs ~244M keys/s — so the
@@ -170,25 +173,49 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
             valid, jnp.take_along_axis(rank, (idx + k) % safe_len, axis=1),
             big)
 
+    def cond(state):
+        rank, k, done = state
+        return (~done) & (k < n)
+
+    # Rank-combination width per round: rolls are ~free when every row is
+    # full, so fetch ranks at k, 2k, 3k and sort 4 keys — context grows 4x
+    # per round (log4 rounds) for one extra sort operand per extra way.
+    # Ragged batches pay a gather per way, so they stay at doubling.
+    way = 4 if all_full else 2
+
     def body(state):
-        rank, k, _ = state
-        second = second_at(rank, k)
-        kr, ksec, order = lax.sort([rank, second, idx], dimension=1,
-                                   num_keys=2, is_stable=True)
+        rank, k, _, _ = state
+        ranks_at = [rank] + [second_at(rank, k * j)
+                             for j in range(1, way)]
+        *kr, order = lax.sort(ranks_at + [idx], dimension=1,
+                              num_keys=way, is_stable=True)
+        diff = (kr[0][:, 1:] != kr[0][:, :-1])
+        for kk in kr[1:]:
+            diff = diff | (kk[:, 1:] != kk[:, :-1])
         changed = jnp.concatenate(
-            [jnp.ones((b, 1), jnp.int32),
-             ((kr[:, 1:] != kr[:, :-1])
-              | (ksec[:, 1:] != ksec[:, :-1])).astype(jnp.int32)], axis=1)
+            [jnp.ones((b, 1), jnp.int32), diff.astype(jnp.int32)], axis=1)
         rs = jnp.cumsum(changed, axis=1) - 1
         # invert the permutation with a second sort (faster than scatter)
         _, nr = lax.sort([order, rs], dimension=1, num_keys=1,
                          is_stable=True)
         nr = jnp.where(valid, nr, big)
-        return nr, k * 2, unique_done(nr)
+        return nr, k * way, unique_done(nr), order
 
-    rank, _, _ = lax.while_loop(
-        cond, body, (rank0, jnp.int32(3), unique_done(rank0)))
-    _, sa = lax.sort([rank, idx], dimension=1, num_keys=1, is_stable=True)
+    def cond(state):  # noqa: F811 — shadows the 3-tuple variant above
+        rank, k, done, _ = state
+        return (~done) & (k < n)
+
+    rank, _, resolved, last_order = lax.while_loop(
+        cond, body, (rank0, jnp.int32(h0), unique_done(rank0), order))
+    # when the loop exited resolved, the resolving round's sort order IS
+    # the suffix array (sorted by now-unique ranks, idx-stable); only the
+    # periodic-tie exit (k >= n) still pays the final sort
+    sa = lax.cond(
+        resolved,
+        lambda args: args[1],
+        lambda args: lax.sort([args[0], idx], dimension=1, num_keys=1,
+                              is_stable=True)[1],
+        (rank, last_order))
     prev = (sa - 1) % safe_len
     L = jnp.where(valid, jnp.take_along_axis(d, prev, axis=1), 0
                   ).astype(jnp.uint8)

@@ -18,6 +18,8 @@ class Lz4Config:
     content_checksum: bool = True
     block_checksum: bool = False
     hash_log: int = 16              # encoder hash table = 2^hash_log entries
+    device_encode: bool = False     # force the XLA batch encoder in the
+    #                                 runner (default: C++ host encoder)
 
 
 @dataclasses.dataclass

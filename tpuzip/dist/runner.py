@@ -186,6 +186,15 @@ def _ari_encode_indexed(blocks, lengths, increment: int = 8,
     return np.asarray(comp), np.asarray(clens).astype(np.int64), deltas
 
 
+def _native_ok() -> bool:
+    try:
+        from tpuzip.runtime import native
+
+        return native.available()
+    except Exception:
+        return False
+
+
 def _mtf_encode_auto(L, lengths, decode=False):
     """MTF over a (B, N) batch: 272 MB/s Pallas lane kernel on TPU, XLA
     scan elsewhere.  The kernel has no length masking, but MTF output at
@@ -576,15 +585,10 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         if codec == "bwt" and block_size > SEG_THRESHOLD:
             flags |= 8  # segmented entropy stage (config-4 big blocks)
     elif codec == "deflate":
-        native_ok = False
-        try:
-            from tpuzip.runtime import native
-
-            native_ok = native.available()
-        except Exception:
-            pass
+        native_ok = _native_ok()
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
             if native_ok:
+                from tpuzip.runtime import native
                 # production host encoder (178 MB/s C++, zlib-accepted);
                 # deflate_batch is the device formulation + cross-check
                 mc = config.codec.deflate.max_chain
@@ -599,6 +603,19 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
                 comp_np = np.asarray(comp)
                 payload = b"".join(
                     comp_np[i, : clens_np[i]].tobytes() for i in range(B))
+    elif codec == "lz4" and _native_ok() \
+            and not config.codec.lz4.device_encode:
+        # production host encoder (same greedy single-probe policy and
+        # byte format as the oracle/device paths, ~350 MB/s); the XLA
+        # batch encoder remains the TPU formulation + cross-check
+        from tpuzip.runtime import native
+
+        with metrics.phase("encode", bytes_in=len(data), blocks=B):
+            blobs = [native.lz4_compress(blocks[i, : lengths[i]].tobytes())
+                     for i in range(B)]
+        with metrics.phase("assemble"):
+            clens_np = np.array([len(p) for p in blobs], np.int64)
+            payload = b"".join(blobs)
     else:
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
             comp, clens = jax.jit(enc)(jb, jl)
