@@ -141,22 +141,30 @@ def main() -> None:
     comp_np, clens_np = np.asarray(comp), np.asarray(clens)
     lz_dec_host = lz_dec_dev = 0.0
     if native.available():
+        # word-granular plan (csrc tpz_lz4_decode_wplan): one 2-wide row
+        # gather per 4 output bytes + boundary patch buffer
+        cpad = np.pad(comp_np, ((0, 0),
+                                (0, (4 - comp_np.shape[1] % 4) % 4)))
+        nw, pcap = N // 4, ((N + 64) + 3) & ~3
         t0 = time.perf_counter()
-        plans = np.zeros((Bl, N), np.int32)
+        wplans = np.zeros((Bl, nw), np.int32)
+        patches = np.zeros((Bl, pcap), np.uint8)
         for i in range(Bl):
-            p = native.lz4_decode_plan(
-                comp_np[i, : clens_np[i]].tobytes(), N)
-            plans[i, : len(p)] = p
+            wp, pt, _n = native.lz4_decode_wplan(
+                cpad[i, : clens_np[i]].tobytes(), N, pcap)
+            wplans[i, : len(wp)] = wp
+            patches[i, : len(pt)] = pt
         lz_dec_host = Bl * N / (time.perf_counter() - t0)
-        jplans, jolens = jnp.array(plans), jnp.full(Bl, N, jnp.int32)
-        jcomp = jnp.array(comp_np)
-        g_sync = jax.jit(lambda c, p, o: jnp.sum(
-            jlz4._gather_plan(c, p, o)[:4, :4].astype(jnp.int32)))
-        int(g_sync(jcomp, jplans, jolens))
-        lz_dec_dev = Bl * N / timed(lambda: int(g_sync(jcomp, jplans,
+        jcomp, jpat = jnp.array(cpad), jnp.array(patches)
+        jwp, jolens = jnp.array(wplans), jnp.full(Bl, N, jnp.int32)
+        g_sync = jax.jit(lambda c, p, w, o: jnp.sum(
+            jlz4._gather_wplan(c, p, w, o)[:4, :4].astype(jnp.int32)))
+        int(g_sync(jcomp, jpat, jwp, jolens))
+        lz_dec_dev = Bl * N / timed(lambda: int(g_sync(jcomp, jpat, jwp,
                                                        jolens)))
-        outp = np.asarray(jlz4._gather_plan(jcomp, jplans, jolens))
+        outp = np.asarray(jlz4._gather_wplan(jcomp, jpat, jwp, jolens))
         assert outp[0].tobytes() == blocks[0].tobytes()
+        assert outp[Bl - 1].tobytes() == blocks[Bl - 1].tobytes()
         if liblz4.available():
             piece = comp_np[0, : clens_np[0]].tobytes()
             assert liblz4.decompress_block(piece, N) == blocks[0].tobytes()

@@ -224,6 +224,48 @@ int64_t tpz_lz4_decode_plan(const uint8_t* src, int64_t n, int32_t* plan,
   return o;
 }
 
+// LZ4 decode WORD plan: like tpz_lz4_decode_plan but one i32 address per
+// output *word* (4 bytes), halving the device gather element count (the
+// device fetches two adjacent i32 table words and shift-combines).  Output
+// words whose four source bytes are not contiguous in the compressed
+// stream (run boundaries, overlapping matches, the ragged tail) are
+// materialized into `patch` (4-byte aligned) and addressed as the negative
+// entry -(patch_offset+1); the device reads them shift-free from a virtual
+// table laid out as [comp row | patch row].  Returns the decoded length,
+// -1 on corrupt stream, -2 when `patch` overflows (caller falls back to
+// the byte plan).
+int64_t tpz_lz4_decode_wplan(const uint8_t* src, int64_t n, int32_t* wplan,
+                             uint8_t* patch, int64_t cap,
+                             int64_t patch_cap, int64_t* patch_used) {
+  std::vector<int32_t> bplan((size_t)cap);
+  int64_t o = tpz_lz4_decode_plan(src, n, bplan.data(), cap);
+  if (o < 0) return o;
+  int64_t pu = 0;
+  int64_t words = (o + 3) >> 2;
+  for (int64_t w = 0; w < words; ++w) {
+    int64_t b0 = w << 2;
+    int32_t p0 = bplan[(size_t)b0];
+    bool contig = b0 + 3 < o;
+    if (contig) {
+      contig = bplan[(size_t)(b0 + 1)] == p0 + 1 &&
+               bplan[(size_t)(b0 + 2)] == p0 + 2 &&
+               bplan[(size_t)(b0 + 3)] == p0 + 3;
+    }
+    if (contig) {
+      wplan[w] = p0;
+    } else {
+      if (pu + 4 > patch_cap) return -2;
+      for (int64_t k = 0; k < 4; ++k)
+        patch[pu + k] =
+            (b0 + k < o) ? src[bplan[(size_t)(b0 + k)]] : 0;
+      wplan[w] = (int32_t)(-(pu + 1));
+      pu += 4;
+    }
+  }
+  *patch_used = pu;
+  return o;
+}
+
 // ---------------------------------------------------------------- inflate
 // RFC 1951 inflate (production host path for the deflate/zlib containers;
 // the device symbol-loop formulation in codecs/deflate.py is the TPU

@@ -89,6 +89,65 @@ def test_lz4_planned_decode_matches(rng):
     assert (np.asarray(out) == blocks).all()
 
 
+def test_lz4_wplanned_decode_matches(rng):
+    from tpuzip.codecs import lz4 as jlz4
+    from tpuzip.oracle import lz4 as olz4
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    N = 1 << 14
+    blocks = np.zeros((5, N), np.uint8)
+    lens = np.array([N, N, N, N - 3, 37], np.int32)  # ragged tails too
+    blocks[0] = np.frombuffer(_mixed(rng, N), np.uint8)
+    blocks[1] = rng.integers(0, 256, N, dtype=np.uint8)
+    blocks[2] = np.frombuffer((b"aaaaabaaaaab" * (N // 12 + 1))[:N],
+                              np.uint8)
+    blocks[3, : N - 3] = np.frombuffer(
+        (b"hello world! " * (N // 13 + 1))[: N - 3], np.uint8)
+    blocks[4, :37] = np.frombuffer(b"x" * 37, np.uint8)
+    cap = jlz4.encode_cap(N)  # deliberately NOT 4-aligned (65873-style)
+    comp = np.zeros((5, cap), np.uint8)
+    cl = np.zeros(5, np.int64)
+    for i in range(5):
+        c = olz4.compress_block(blocks[i, : lens[i]].tobytes())
+        comp[i, : len(c)] = np.frombuffer(c, np.uint8)
+        cl[i] = len(c)
+    out, olens, errs = jlz4.decode_batch_wplanned(comp, cl, N)
+    out = np.asarray(out)
+    assert int(np.asarray(errs).sum()) == 0
+    assert (np.asarray(olens) == lens).all()
+    for i in range(5):
+        assert out[i, : lens[i]].tobytes() == \
+            blocks[i, : lens[i]].tobytes(), i
+        assert not out[i, lens[i]:].any(), i
+
+
+def test_lz4_wplanned_corrupt_and_overflow(rng):
+    from tpuzip.codecs import lz4 as jlz4
+    from tpuzip.oracle import lz4 as olz4
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    N = 4096
+    good = rng.integers(0, 64, N, dtype=np.uint8)
+    c = olz4.compress_block(good.tobytes())
+    comp = np.zeros((2, jlz4.encode_cap(N)), np.uint8)
+    comp[0, : len(c)] = np.frombuffer(c, np.uint8)
+    comp[1, :3] = (0xFF, 0xFF, 0xFF)  # corrupt
+    out, olens, errs = jlz4.decode_batch_wplanned(
+        comp, np.array([len(c), 3], np.int64), N)
+    errs = np.asarray(errs)
+    assert errs[0] == 0 and errs[1] == 1
+    assert np.asarray(out)[0].tobytes() == good.tobytes()
+    # a tiny explicit patch budget raises OverflowError (fallback
+    # trigger); short matches make nearly every word a boundary word
+    c2 = olz4.compress_block((b"hello world! " * (N // 13 + 1))[:N])
+    with pytest.raises(OverflowError):
+        native.lz4_decode_wplan(c2, N, patch_cap=8)
+
+
 def test_lz4_planned_corrupt_block_isolated(rng):
     from tpuzip.codecs import lz4 as jlz4
     from tpuzip.oracle import lz4 as olz4

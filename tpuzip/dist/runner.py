@@ -829,9 +829,10 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 planned = False
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             if planned:
-                # host-parse/device-copy-plan path: C++ token parse, one
-                # bulk device gather (VERDICT r1 item 3)
-                out, olens_dev, errs = jlz4.decode_batch_planned(
+                # host-parse/device-copy-plan path: C++ token parse, bulk
+                # device gathers (VERDICT r1 item 3); word-granular plan
+                # halves the gather element count vs the byte plan
+                out, olens_dev, errs = jlz4.decode_batch_wplanned(
                     comp, clens, block_size)
             else:
                 out, olens_dev, errs = jax.jit(

@@ -57,6 +57,9 @@ def get_lib():
     lib.tpz_ari_decode.argtypes = [u8p, i64, u8p, i64, u32, u32]
     lib.tpz_lz4_decode_plan.restype = i64
     lib.tpz_lz4_decode_plan.argtypes = [u8p, i64, i32p, i64]
+    lib.tpz_lz4_decode_wplan.restype = i64
+    lib.tpz_lz4_decode_wplan.argtypes = [u8p, i64, i32p, u8p, i64, i64,
+                                         ctypes.POINTER(ctypes.c_int64)]
     lib.tpz_inflate.restype = i64
     lib.tpz_inflate.argtypes = [u8p, i64, u8p, i64]
     lib.tpz_inflate_plan.restype = i64
@@ -125,6 +128,36 @@ def lz4_decode_plan(data: bytes, out_cap: int) -> np.ndarray:
     if n < 0:
         raise ValueError("tpz_lz4_decode_plan failed (corrupt stream)")
     return plan[:n]
+
+
+def lz4_decode_wplan(data: bytes, out_cap: int,
+                     patch_cap: int | None = None):
+    """Word-granular LZ4 copy plan (half the device gather elements of
+    lz4_decode_plan): one i32 per output word — a compressed-stream byte
+    address for contiguous words, or -(patch_offset+1) for boundary words
+    materialized into the returned patch buffer.  Returns
+    (wplan i32[ceil(out_len/4)], patch u8[patch_used], out_len).
+    Raises ValueError on corrupt streams; OverflowError when the patch
+    budget is exceeded (caller falls back to the byte plan)."""
+    lib = get_lib()
+    src = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    if patch_cap is None:
+        # every word patched in the worst case (dense token boundaries on
+        # short-match text); the full budget keeps the word path available
+        # there — the device gather count is halved regardless
+        patch_cap = out_cap + 64
+    patch_cap = (patch_cap + 3) & ~3
+    wplan = np.zeros(max((out_cap + 3) // 4, 1), np.int32)
+    patch = np.zeros(max(patch_cap, 4), np.uint8)
+    used = ctypes.c_int64(0)
+    n = lib.tpz_lz4_decode_wplan(_u8(src), len(data), _i32(wplan),
+                                 _u8(patch), out_cap, patch_cap,
+                                 ctypes.byref(used))
+    if n == -2:
+        raise OverflowError("tpz_lz4_decode_wplan patch budget exceeded")
+    if n < 0:
+        raise ValueError("tpz_lz4_decode_wplan failed (corrupt stream)")
+    return wplan[: (n + 3) // 4], patch[: used.value], n
 
 
 def deflate(data: bytes, max_chain: int = 64) -> bytes:
