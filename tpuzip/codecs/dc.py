@@ -105,10 +105,50 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
     return out, HDR + body_len
 
 
-def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int
+def _parse_varints(comp32: jnp.ndarray, comp_len: jnp.ndarray,
+                   max_steps: int) -> jnp.ndarray:
+    """Parallel LEB128 parse of the whole distance stream: the encoding is
+    self-delimiting (high bit = continuation), so varint STARTS are the
+    body head plus every byte following a terminator — all boundaries and
+    values fall out of shifted-array arithmetic with no sequential walk.
+    Returns vals (max_steps,) i32, the k-th varint of the body."""
+    cap = comp32.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    in_body = (pos >= HDR) & (pos < comp_len)
+    b = jnp.where(in_body, comp32, 0)
+    term = (b < 0x80) & in_body
+    prev_term = jnp.concatenate([jnp.array([False]), term[:-1]])
+    is_start = in_body & ((pos == HDR) | prev_term)
+    ordinal = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+
+    val = jnp.zeros(cap, jnp.int32)
+    include = jnp.ones(cap, jnp.bool_)
+    for k in range(VARINT_MAX):
+        bk = jnp.roll(b, -k) if k else b
+        inb = jnp.roll(in_body, -k) if k else in_body
+        val = val | jnp.where(include & inb,
+                              (bk & 0x7F) << (7 * k), 0)
+        include = include & (bk >= 0x80)
+    # compact run-ordered values with a stable sort (cheaper than scatter
+    # on v5e: batched row sorts run ~244M keys/s vs ~48M scattered elems)
+    key = jnp.where(is_start, ordinal, jnp.int32(cap + 1))
+    _, vals_sorted = lax.sort([key, val], num_keys=1, is_stable=True)
+    return lax.slice(vals_sorted, (0,), (max_steps,))
+
+
+def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int,
+           max_steps: int | None = None
            ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """-> (out (out_n,) u8, out_len i32, err i32)."""
+    """-> (out (out_n,) u8, out_len i32, err i32).
+
+    The run scan consumes pre-parsed varints as scan inputs — no
+    data-dependent gathers inside the loop (measured 9 in-loop gathers
+    per step in the v1 formulation, the dominant cost) — and updates the
+    (256,) scheduler table via one-hot masks instead of dynamic scatter.
+    `max_steps` bounds the scan length: every run consumes at least one
+    distance byte, so callers may pass max(comp_len) - HDR."""
     cap = comp.shape[0]
+    T = out_n if max_steps is None else min(max_steps, out_n)
     comp32 = comp.astype(jnp.int32)
     length = (comp32[0] | (comp32[1] << 8) | (comp32[2] << 16)
               | (comp32[3] << 24))
@@ -118,61 +158,48 @@ def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int
              | (comp32[sym4 + 2] << 16) | (comp32[sym4 + 3] << 24))
     INF = jnp.int32(0x7FFFFFFF)
     sched0 = jnp.where(first < length, first, INF)
+    vals = _parse_varints(comp32, comp_len, T)
 
-    def read_varint(pos):
-        val = jnp.int32(0)
-        done = jnp.bool_(False)
-        for k in range(VARINT_MAX):
-            b = comp32[jnp.clip(pos + k, 0, cap - 1)]
-            val = jnp.where(done, val, val | ((b & 0x7F) << (7 * k)))
-            stop = (b < 0x80) & ~done
-            done = done | stop
-        # byte count = index of first byte < 0x80, +1
-        cnt = jnp.int32(1)
-        chain = jnp.bool_(True)
-        for k in range(VARINT_MAX - 1):
-            b = comp32[jnp.clip(pos + k, 0, cap - 1)]
-            chain = chain & (b >= 0x80)
-            cnt = cnt + chain.astype(jnp.int32)
-        return val, pos + cnt
-
-    def step(state, t):
-        pos, in_pos, sched, err = state
+    def step(state, d):
+        pos, sched, err = state
         active = pos < length
         # current run's symbol: the one scheduled exactly at pos
-        hit = sched == pos
+        hit = sched == pos                       # at most one True
         any_hit = hit.any()
-        s = jnp.argmax(hit).astype(jnp.int32)
-        sched = jnp.where(active & any_hit, sched.at[s].set(INF), sched)
-        nxt = jnp.minimum(jnp.min(sched), length)
-        d, new_in = read_varint(in_pos)
+        cleared = jnp.where(hit, INF, sched)
+        nxt = jnp.minimum(jnp.min(cleared), length)
         run_end = nxt - 1
         target = run_end + d
         bad = active & ((~any_hit) | ((d > 0) & ((target >= length)
                                                  | (target < nxt))))
-        sched = jnp.where(active & (d > 0) & ~bad,
-                          sched.at[s].set(target), sched)
+        resched = jnp.where(hit & (d > 0) & ~bad, target, cleared)
+        s = jnp.argmax(hit).astype(jnp.int32)
         out_run = (jnp.where(active, pos, 0),
                    jnp.where(active, nxt - pos, 0),
                    jnp.where(active, s, 0))
+        sched = jnp.where(active, resched, sched)
         pos = jnp.where(active, nxt, pos)
-        in_pos = jnp.where(active, new_in, in_pos)
         err = err | bad.astype(jnp.int32)
-        return (pos, in_pos, sched, err), out_run
+        return (pos, sched, err), out_run
 
-    init = (jnp.int32(0), jnp.int32(HDR), sched0, jnp.int32(0))
-    (_, _, _, err), (starts, lens_, syms) = lax.scan(
-        step, init, jnp.arange(out_n, dtype=jnp.int32))
+    init = (jnp.int32(0), sched0, jnp.int32(0))
+    (pos_end, _, err), (starts, lens_, syms) = lax.scan(step, init, vals)
+    # max_steps must cover every run: an unfinished walk is an error
+    err = err | (pos_end < length).astype(jnp.int32)
 
     # parallel run-fill
     scat = jnp.where(lens_ > 0, starts, out_n)
     run_at = jnp.full(out_n, -1, jnp.int32).at[scat].max(
-        jnp.arange(out_n, dtype=jnp.int32), mode="drop")
+        jnp.arange(T, dtype=jnp.int32), mode="drop")
     run_of = lax.cummax(run_at)
-    out = syms[jnp.clip(run_of, 0, out_n - 1)].astype(jnp.uint8)
+    out = syms[jnp.clip(run_of, 0, T - 1)].astype(jnp.uint8)
     out = jnp.where(jnp.arange(out_n) < length, out, 0)
     return out, length, err
 
 
 encode_batch = jax.vmap(encode, in_axes=(0, 0))
-decode_batch = jax.vmap(decode, in_axes=(0, 0, None))
+
+
+def decode_batch(comp, comp_lens, out_n: int, max_steps: int | None = None):
+    return jax.vmap(lambda c, l: decode(c, l, out_n, max_steps))(
+        comp, comp_lens)

@@ -434,8 +434,12 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
     # bwtdc
     jdl = jnp.array(dlens.astype(np.int32))
     jl = jnp.array(olens.astype(np.int32))
-    L, _, errs = jax.jit(jdc.decode_batch, static_argnums=2)(
-        jsyms, jdl, block_size)
+    # every DC run consumes >= 1 distance byte, so the run scan is bounded
+    # by the largest DC body in the batch (pow2-bucketed for cache reuse)
+    ms = _pow2_bucket(max(int(dlens.max(initial=1)) - jdc.HDR, 1), 256,
+                      block_size)
+    L, _, errs = jax.jit(jdc.decode_batch, static_argnums=(2, 3))(
+        jsyms, jdl, block_size, ms)
     if np.asarray(errs)[:B].any():
         raise CorruptStreamError(np.nonzero(np.asarray(errs)[:B])[0])
     out = jbwt.decode_batch_auto(L, jnp.array(origins), jl)
