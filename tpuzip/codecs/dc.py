@@ -13,6 +13,8 @@ Output expansion is the usual parallel run-fill.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -186,15 +188,31 @@ def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int,
     (pos_end, _, err), (starts, lens_, syms) = lax.scan(step, init, vals)
     # max_steps must cover every run: an unfinished walk is an error
     err = err | (pos_end < length).astype(jnp.int32)
-
-    # parallel run-fill
-    scat = jnp.where(lens_ > 0, starts, out_n)
-    run_at = jnp.full(out_n, -1, jnp.int32).at[scat].max(
-        jnp.arange(T, dtype=jnp.int32), mode="drop")
-    run_of = lax.cummax(run_at)
-    out = syms[jnp.clip(run_of, 0, T - 1)].astype(jnp.uint8)
-    out = jnp.where(jnp.arange(out_n) < length, out, 0)
+    out = _run_fill(starts, lens_, syms, length, out_n)
     return out, length, err
+
+
+def _run_fill(starts, lens_, syms, length, out_n: int) -> jnp.ndarray:
+    """Expand run triples (start, len, sym) to bytes in parallel.
+
+    The symbol rides INSIDE the scattered value ((run_idx << 8) | sym;
+    run_idx is monotone in start, so scatter-max + cummax propagates the
+    latest run) — no (out_n,) gather afterwards, only a T-element scatter
+    and two vector passes."""
+    T = starts.shape[0]
+    scat = jnp.where(lens_ > 0, starts, out_n)
+    if T < (1 << 23):
+        packed = (jnp.arange(T, dtype=jnp.int32) << 8) | syms
+        acc = jnp.full(out_n, -1, jnp.int32).at[scat].max(packed,
+                                                          mode="drop")
+        filled = lax.cummax(acc)
+        out = (filled & 0xFF).astype(jnp.uint8)
+    else:  # giant blocks: run_idx << 8 would overflow i32 — gather form
+        run_at = jnp.full(out_n, -1, jnp.int32).at[scat].max(
+            jnp.arange(T, dtype=jnp.int32), mode="drop")
+        run_of = lax.cummax(run_at)
+        out = syms[jnp.clip(run_of, 0, T - 1)].astype(jnp.uint8)
+    return jnp.where(jnp.arange(out_n) < length, out, 0)
 
 
 encode_batch = jax.vmap(encode, in_axes=(0, 0))
@@ -203,3 +221,50 @@ encode_batch = jax.vmap(encode, in_axes=(0, 0))
 def decode_batch(comp, comp_lens, out_n: int, max_steps: int | None = None):
     return jax.vmap(lambda c, l: decode(c, l, out_n, max_steps))(
         comp, comp_lens)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_n", "max_steps", "interpret"))
+def _decode_lane_group(comp, comp_lens, out_n: int, max_steps: int,
+                       interpret: bool = False):
+    from tpuzip.kernels.dc_scan import CHUNK, LANES, dc_decode_lanes
+
+    b, cap = comp.shape
+    T = max_steps + (-max_steps) % CHUNK
+    comp32 = comp.astype(jnp.int32)
+    length = (comp32[:, 0] | (comp32[:, 1] << 8) | (comp32[:, 2] << 16)
+              | (comp32[:, 3] << 24))
+    length = jnp.minimum(length, out_n)
+    h4 = comp32[:, 4 : 4 + 1024].reshape(b, 256, 4)
+    first = (h4[..., 0] | (h4[..., 1] << 8) | (h4[..., 2] << 16)
+             | (h4[..., 3] << 24))                       # (b, 256)
+    vals = jax.vmap(lambda c, l: _parse_varints(c, l, T))(
+        comp32, jnp.asarray(comp_lens, jnp.int32))       # (b, T)
+    valsT = jnp.zeros((T, LANES), jnp.int32).at[:, :b].set(vals.T)
+    firstT = jnp.zeros((256, LANES), jnp.int32).at[:, :b].set(first.T)
+    lensT = jnp.zeros(LANES, jnp.int32).at[:b].set(length)
+    starts, rlens, syms, err = dc_decode_lanes(valsT, firstT, lensT,
+                                               interpret=interpret)
+    out = jax.vmap(
+        lambda s_, l_, y_, ln: _run_fill(s_, l_, y_, ln, out_n))(
+        starts.T[:b], rlens.T[:b], syms.T[:b], length)
+    return out, length, err[:b]
+
+
+def decode_batch_kernel(comp, comp_lens, out_n: int, max_steps: int,
+                        interpret: bool = False):
+    """Pallas lane-kernel DC decode (kernels/dc_scan): varints pre-parsed
+    in parallel by XLA, one RUN per VPU step across 128 lanes, run-fill in
+    XLA.  Splits batches > 128 into lane groups.  Same contract as
+    decode_batch: -> (out (B, out_n) u8, out_len (B,) i32, err (B,))."""
+    b = comp.shape[0]
+    outs, lens_, errs = [], [], []
+    for g in range(0, b, 128):
+        o, ln, e = _decode_lane_group(comp[g : g + 128],
+                                      jnp.asarray(comp_lens)[g : g + 128],
+                                      out_n, max_steps, interpret)
+        outs.append(o)
+        lens_.append(ln)
+        errs.append(e)
+    return (jnp.concatenate(outs), jnp.concatenate(lens_),
+            jnp.concatenate(errs))

@@ -438,8 +438,12 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
     # by the largest DC body in the batch (pow2-bucketed for cache reuse)
     ms = _pow2_bucket(max(int(dlens.max(initial=1)) - jdc.HDR, 1), 256,
                       block_size)
-    L, _, errs = jax.jit(jdc.decode_batch, static_argnums=(2, 3))(
-        jsyms, jdl, block_size, ms)
+    if jax.devices()[0].platform == "tpu":
+        # lane-parallel Pallas run walk (kernels/dc_scan)
+        L, _, errs = jdc.decode_batch_kernel(jsyms, jdl, block_size, ms)
+    else:
+        L, _, errs = jax.jit(jdc.decode_batch, static_argnums=(2, 3))(
+            jsyms, jdl, block_size, ms)
     if np.asarray(errs)[:B].any():
         raise CorruptStreamError(np.nonzero(np.asarray(errs)[:B])[0])
     out = jbwt.decode_batch_auto(L, jnp.array(origins), jl)
