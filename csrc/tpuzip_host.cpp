@@ -7,9 +7,42 @@
 // Build: make -C csrc   (produces libtpuzip_host.so; loaded via ctypes)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
+
+namespace {
+
+// Work-stealing parallel-for over independent blocks: host codec stages
+// (LZ4 parse/compress, deflate, inflate-plan) are embarrassingly parallel,
+// so batch entry points fan out across cores (atomic counter, no locks).
+template <typename F>
+void parallel_blocks(int64_t b, int nthreads, F fn) {
+  if (nthreads <= 0)
+    nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > b) nthreads = (int)b;
+  if (nthreads <= 1) {
+    for (int64_t i = 0; i < b; ++i) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  std::vector<std::thread> pool;
+  pool.reserve((size_t)nthreads);
+  for (int t = 0; t < nthreads; ++t)
+    pool.emplace_back([&]() {
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= b) return;
+        fn(i);
+      }
+    });
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -946,6 +979,69 @@ int64_t tpz_ari_decode(const uint8_t* src, int64_t n, uint8_t* dst,
     m.update(sym);
   }
   return num_syms;
+}
+
+// ------------------------------------------------- threaded batch stages
+// Host codec stages over B independent blocks, fanned out across cores.
+// Matrix layouts are row-major with fixed row capacities; per-block
+// lengths/status are reported in the i64 out arrays (negative = error code
+// of the scalar function).
+
+void tpz_lz4_compress_batch(const uint8_t* src, int64_t b, int64_t n,
+                            const int32_t* lens, uint8_t* dst, int64_t dcap,
+                            int64_t* out_lens, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] =
+        tpz_lz4_compress(src + i * n, lens[i], dst + i * dcap, dcap);
+  });
+}
+
+void tpz_lz4_decode_wplan_batch(const uint8_t* src, int64_t b, int64_t scap,
+                                const int32_t* slens, int32_t* wplans,
+                                int64_t nw, uint8_t* patches,
+                                int64_t patch_cap, int64_t out_cap,
+                                int64_t* out_lens, int64_t* patch_used,
+                                int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    int64_t pu = 0;
+    out_lens[i] = tpz_lz4_decode_wplan(src + i * scap, slens[i],
+                                       wplans + i * nw,
+                                       patches + i * patch_cap, out_cap,
+                                       patch_cap, &pu);
+    patch_used[i] = pu;
+  });
+}
+
+void tpz_deflate_batch(const uint8_t* src, int64_t b, int64_t n,
+                       const int32_t* lens, uint8_t* dst, int64_t dcap,
+                       int64_t* out_lens, int max_chain, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] =
+        tpz_deflate(src + i * n, lens[i], dst + i * dcap, dcap, max_chain);
+  });
+}
+
+void tpz_inflate_batch(const uint8_t* src, int64_t b, int64_t scap,
+                       const int32_t* slens, uint8_t* dst, int64_t dcap,
+                       int64_t* out_lens, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = slens[i] == 0 ? 0 :  // empty row = empty block
+        tpz_inflate(src + i * scap, slens[i], dst + i * dcap, dcap);
+  });
+}
+
+void tpz_inflate_plan_batch(const uint8_t* src, int64_t b, int64_t scap,
+                            const int32_t* slens, int32_t* plans,
+                            uint8_t* lits, int64_t out_cap,
+                            int64_t* out_lens, int64_t* nlits,
+                            int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    int64_t nl = 0;
+    out_lens[i] = slens[i] == 0 ? 0 :  // empty row = empty block
+        tpz_inflate_plan(src + i * scap, slens[i], plans + i * out_cap,
+                         lits + i * out_cap, out_cap, &nl);
+    nlits[i] = nl;
+  });
 }
 
 // ------------------------------------------------- container assembly

@@ -50,3 +50,72 @@ def test_native_payload_pack_roundtrip(rng):
     back = native.unpack_payloads(stream, lens, CAP)
     for i in range(B):
         assert back[i, : lens[i]].tobytes() == comp[i, : lens[i]].tobytes()
+
+
+def test_native_lz4_batch_threaded(rng):
+    """Threaded batch host stages agree with the scalar entry points and
+    system liblz4 (blocks are independent; csrc fans out across cores)."""
+    from tpuzip.oracle import liblz4
+
+    B, n = 16, 4096
+    rows = np.zeros((B, n), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        s = (b"threaded batch block %d " % i) * (40 + i) + bytes(
+            rng.integers(0, 256, 64, dtype=np.uint8))
+        lens[i] = min(len(s), n)
+        rows[i, : lens[i]] = np.frombuffer(s[:n], np.uint8)
+    comp, clens = native.lz4_compress_batch(rows, lens)
+    for i in range(B):
+        blob = comp[i, : clens[i]].tobytes()
+        assert blob == native.lz4_compress(rows[i, : lens[i]].tobytes())
+        if liblz4.available():
+            assert liblz4.decompress_block(blob, int(lens[i])) == \
+                rows[i, : lens[i]].tobytes()
+    # threaded wplan parse == scalar wplan parse, per block
+    out_cap = int(lens.max())
+    cpad = comp[:, : (int(clens.max()) + 3) & ~3]
+    wplans, patches, st, used = native.lz4_decode_wplan_batch(
+        cpad, clens.astype(np.int32), out_cap)
+    for i in (0, B // 2, B - 1):
+        wp, pt, n1 = native.lz4_decode_wplan(
+            cpad[i, : clens[i]].tobytes(), out_cap)
+        assert st[i] == n1 == lens[i]
+        assert (wplans[i, : len(wp)] == wp).all()
+        assert (patches[i, : len(pt)] == pt).all()
+    # corrupt one stream: per-block status isolates it (strict=False)
+    bad = cpad.copy()
+    bad[3, : clens[3]] = 0xFF
+    _, _, st2, _ = native.lz4_decode_wplan_batch(
+        bad, clens.astype(np.int32), out_cap, strict=False)
+    assert st2[3] < 0 and st2[0] == lens[0]
+
+
+def test_native_deflate_inflate_batch_threaded(rng):
+    import zlib
+
+    B, n = 8, 4096
+    rows = np.zeros((B, n), np.uint8)
+    lens = np.full(B, n, np.int32)
+    lens[B - 1] = 0  # empty row must decode to an empty block
+    text = (b"the quick brown deflate batch corpus " * 1000)[: n * B]
+    rows[: B - 1] = np.frombuffer(text[: n * (B - 1)],
+                                  np.uint8).reshape(B - 1, n)
+    comp, clens = native.deflate_batch_native(rows[: B - 1], lens[: B - 1])
+    for i in range(B - 1):
+        blob = comp[i, : clens[i]].tobytes()
+        assert zlib.decompress(blob, -15) == rows[i].tobytes()
+    # threaded inflate + inflate-plan round the batch back, incl. a
+    # zero-length row
+    cfull = np.zeros((B, comp.shape[1]), np.uint8)
+    cfull[: B - 1] = comp
+    cl = np.zeros(B, np.int32)
+    cl[: B - 1] = clens
+    dec, dlens = native.inflate_batch_native(cfull, cl, n)
+    assert (dlens[: B - 1] == n).all() and dlens[B - 1] == 0
+    assert (dec[: B - 1] == rows[: B - 1]).all()
+    plans, lits, olens, nlits = native.inflate_plan_batch(cfull, cl, n)
+    assert (olens[: B - 1] == n).all() and olens[B - 1] == 0
+    i = 2
+    got = lits[i][plans[i, : olens[i]]]
+    assert got.tobytes() == rows[i].tobytes()

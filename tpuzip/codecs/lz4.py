@@ -410,27 +410,15 @@ def decode_batch_wplanned(comp_np, clens_np, out_n: int):
         return decode_batch_planned(comp_np, clens_np, out_n)
     if comp_np.shape[1] % 4:  # virtual-table word packing needs 4-aligned rows
         comp_np = np.pad(comp_np, ((0, 0), (0, 4 - comp_np.shape[1] % 4)))
-    cap = comp_np.shape[1]
-    nw = out_n // 4
-    pcap = ((out_n + 64) + 3) & ~3
-    wplans = np.zeros((B, nw), np.int32)
-    patches = np.zeros((B, pcap), np.uint8)
-    olens = np.zeros(B, np.int32)
-    errs = np.zeros(B, np.int32)
-    for i in range(B):
-        cl = int(clens_np[i])
-        if cl == 0:
-            continue
-        try:
-            wp, pt, n = native.lz4_decode_wplan(
-                comp_np[i, :cl].tobytes(), out_n, pcap)
-            wplans[i, : len(wp)] = wp
-            patches[i, : len(pt)] = pt
-            olens[i] = n
-        except OverflowError:
-            return decode_batch_planned(comp_np, clens_np, out_n)
-        except ValueError:
-            errs[i] = 1
+    # threaded C++ batch parse (csrc tpz_lz4_decode_wplan_batch): all B
+    # token streams fan out across cores — 614 MB/s at 4 threads vs 85
+    # single-thread (the parse is embarrassingly parallel over blocks)
+    wplans, patches, st, _used = native.lz4_decode_wplan_batch(
+        comp_np, clens_np.astype(np.int32), out_n, strict=False)
+    if (st == -2).any():  # patch budget overflow: byte-plan fallback
+        return decode_batch_planned(comp_np, clens_np, out_n)
+    errs = (st == -1).astype(np.int32)
+    olens = np.where(st > 0, st, 0).astype(np.int32)
     out = _gather_wplan(jnp.asarray(comp_np), jnp.asarray(patches),
                         jnp.asarray(wplans), jnp.asarray(olens))
     return out, jnp.asarray(olens), jnp.asarray(errs)

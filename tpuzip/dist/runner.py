@@ -606,14 +606,15 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
             if native_ok:
                 from tpuzip.runtime import native
-                # production host encoder (178 MB/s C++, zlib-accepted);
-                # deflate_batch is the device formulation + cross-check
+                # production host encoder (C++, zlib-accepted, threaded
+                # across cores); deflate_batch is the device formulation
+                # + cross-check
                 mc = config.codec.deflate.max_chain
-                blobs = [native.deflate(
-                    blocks[i, : lengths[i]].tobytes(), mc)
-                    for i in range(B)]
-                clens_np = np.array([len(p) for p in blobs], np.int64)
-                payload = b"".join(blobs)
+                comp_np, cl64 = native.deflate_batch_native(
+                    blocks, lengths, max_chain=mc)
+                clens_np = cl64.astype(np.int64)
+                payload = native.pack_payloads(
+                    comp_np, clens_np.astype(np.int32))
             else:
                 comp, clens = enc(jb, jl)
                 clens_np = np.asarray(clens).astype(np.int64)
@@ -628,11 +629,11 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         from tpuzip.runtime import native
 
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
-            blobs = [native.lz4_compress(blocks[i, : lengths[i]].tobytes())
-                     for i in range(B)]
+            comp_np, cl64 = native.lz4_compress_batch(blocks, lengths)
         with metrics.phase("assemble"):
-            clens_np = np.array([len(p) for p in blobs], np.int64)
-            payload = b"".join(blobs)
+            clens_np = cl64.astype(np.int64)
+            payload = native.pack_payloads(
+                comp_np, clens_np.astype(np.int32))
     else:
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
             comp, clens = jax.jit(enc)(jb, jl)

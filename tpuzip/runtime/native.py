@@ -67,6 +67,23 @@ def get_lib():
                                      ctypes.POINTER(ctypes.c_int64)]
     lib.tpz_deflate.restype = i64
     lib.tpz_deflate.argtypes = [u8p, i64, u8p, i64, ctypes.c_int]
+    i64p, c_int = ctypes.POINTER(ctypes.c_int64), ctypes.c_int
+    lib.tpz_lz4_compress_batch.restype = None
+    lib.tpz_lz4_compress_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                           i64p, c_int]
+    lib.tpz_lz4_decode_wplan_batch.restype = None
+    lib.tpz_lz4_decode_wplan_batch.argtypes = [u8p, i64, i64, i32p, i32p,
+                                               i64, u8p, i64, i64, i64p,
+                                               i64p, c_int]
+    lib.tpz_deflate_batch.restype = None
+    lib.tpz_deflate_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64, i64p,
+                                      c_int, c_int]
+    lib.tpz_inflate_batch.restype = None
+    lib.tpz_inflate_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64, i64p,
+                                      c_int]
+    lib.tpz_inflate_plan_batch.restype = None
+    lib.tpz_inflate_plan_batch.argtypes = [u8p, i64, i64, i32p, i32p, u8p,
+                                           i64, i64p, i64p, c_int]
     lib.tpz_pack_payloads.restype = i64
     lib.tpz_pack_payloads.argtypes = [u8p, i64, i64, i32p, u8p, i64]
     lib.tpz_unpack_payloads.restype = i64
@@ -158,6 +175,120 @@ def lz4_decode_wplan(data: bytes, out_cap: int,
     if n < 0:
         raise ValueError("tpz_lz4_decode_wplan failed (corrupt stream)")
     return wplan[: (n + 3) // 4], patch[: used.value], n
+
+
+def _i64(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def lz4_compress_batch(blocks: np.ndarray, lengths: np.ndarray,
+                       nthreads: int = 0):
+    """Compress B block rows in parallel across cores.  blocks: (B, n) u8,
+    lengths: (B,) valid bytes per row.  Returns (comp (B, dcap) u8,
+    clens (B,) i64).  Raises on any per-block failure."""
+    lib = get_lib()
+    blocks = np.ascontiguousarray(blocks, np.uint8)
+    b, n = blocks.shape
+    lens = np.ascontiguousarray(lengths, np.int32)
+    dcap = n + n // 255 + 64
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_lz4_compress_batch(_u8(blocks), b, n, _i32(lens), _u8(dst),
+                               dcap, _i64(out), nthreads)
+    if (out < 0).any():
+        raise ValueError("lz4_compress_batch failed")
+    return dst, out
+
+
+def lz4_decode_wplan_batch(comp: np.ndarray, clens: np.ndarray,
+                           out_cap: int, patch_cap: int | None = None,
+                           nthreads: int = 0, strict: bool = True):
+    """Parse B compressed rows into word-granular copy plans in parallel.
+    comp: (B, scap) u8 rows, clens: (B,) stream bytes per row.  Returns
+    (wplans (B, nw) i32, patches (B, pcap) u8, out_lens (B,) i64,
+    patch_used (B,) i64).  strict=True raises ValueError on corrupt
+    streams / OverflowError on patch-budget overflow; strict=False leaves
+    the per-block status codes (-1 corrupt, -2 overflow) in out_lens for
+    the caller's corruption-isolation machinery."""
+    lib = get_lib()
+    comp = np.ascontiguousarray(comp, np.uint8)
+    b, scap = comp.shape
+    lens = np.ascontiguousarray(clens, np.int32)
+    if patch_cap is None:
+        patch_cap = out_cap + 64
+    patch_cap = (patch_cap + 3) & ~3
+    nw = max((out_cap + 3) // 4, 1)
+    wplans = np.zeros((b, nw), np.int32)
+    patches = np.zeros((b, patch_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    used = np.zeros(b, np.int64)
+    lib.tpz_lz4_decode_wplan_batch(_u8(comp), b, scap, _i32(lens),
+                                   _i32(wplans), nw, _u8(patches),
+                                   patch_cap, out_cap, _i64(out),
+                                   _i64(used), nthreads)
+    if strict:
+        if (out == -2).any():
+            raise OverflowError(
+                "lz4_decode_wplan_batch patch budget exceeded")
+        if (out < 0).any():
+            raise ValueError(
+                "lz4_decode_wplan_batch failed (corrupt stream)")
+    return wplans, patches, out, used
+
+
+def deflate_batch_native(blocks: np.ndarray, lengths: np.ndarray,
+                         max_chain: int = 64, nthreads: int = 0):
+    """Deflate B block rows in parallel across cores.  Returns
+    (comp (B, dcap) u8, clens (B,) i64)."""
+    lib = get_lib()
+    blocks = np.ascontiguousarray(blocks, np.uint8)
+    b, n = blocks.shape
+    lens = np.ascontiguousarray(lengths, np.int32)
+    dcap = 2 * n + 4096
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_deflate_batch(_u8(blocks), b, n, _i32(lens), _u8(dst), dcap,
+                          _i64(out), max_chain, nthreads)
+    if (out < 0).any():
+        raise ValueError("deflate_batch_native failed")
+    return dst, out
+
+
+def inflate_batch_native(comp: np.ndarray, clens: np.ndarray, out_cap: int,
+                         nthreads: int = 0):
+    """Inflate B compressed rows in parallel.  Returns
+    (out (B, out_cap) u8, out_lens (B,) i64)."""
+    lib = get_lib()
+    comp = np.ascontiguousarray(comp, np.uint8)
+    b, scap = comp.shape
+    lens = np.ascontiguousarray(clens, np.int32)
+    dst = np.zeros((b, out_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_inflate_batch(_u8(comp), b, scap, _i32(lens), _u8(dst),
+                          out_cap, _i64(out), nthreads)
+    if (out < 0).any():
+        raise ValueError("inflate_batch_native failed (corrupt stream)")
+    return dst, out
+
+
+def inflate_plan_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
+                       nthreads: int = 0):
+    """Huffman-parse B deflate rows into copy plans in parallel.  Returns
+    (plans (B, out_cap) i32, lits (B, out_cap) u8, out_lens, nlits)."""
+    lib = get_lib()
+    comp = np.ascontiguousarray(comp, np.uint8)
+    b, scap = comp.shape
+    lens = np.ascontiguousarray(clens, np.int32)
+    plans = np.zeros((b, out_cap), np.int32)
+    lits = np.zeros((b, out_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    nlits = np.zeros(b, np.int64)
+    lib.tpz_inflate_plan_batch(_u8(comp), b, scap, _i32(lens), _i32(plans),
+                               _u8(lits), out_cap, _i64(out), _i64(nlits),
+                               nthreads)
+    if (out < 0).any():
+        raise ValueError("inflate_plan_batch failed (corrupt stream)")
+    return plans, lits, out, nlits
 
 
 def deflate(data: bytes, max_chain: int = 64) -> bytes:
