@@ -1044,6 +1044,39 @@ void tpz_inflate_plan_batch(const uint8_t* src, int64_t b, int64_t scap,
   });
 }
 
+// Build the ari decoder's per-chunk stream windows at host memcpy speed
+// (production prepack for kernels/range_decoder: the XLA take_along_axis
+// formulation is element-gather-bound at ~48M elem/s ~ 190 MB/s, while the
+// Pallas kernel itself runs at 280 MB/s).  For block row i, chunk k, word
+// j: out word = big-endian u32 of stream bytes start_k+4j .. +3, with
+// start_0 = 4 (after code0) and start_{k+1} = start_k + deltas[i,k].
+// Output lane-major (B, NC*w) u32; the device transposes (bandwidth-bound,
+// not gather-bound) and feeds the kernel.
+void tpz_ari_build_windows(const uint8_t* streams, int64_t b, int64_t cap,
+                           const int32_t* deltas, int64_t nc, int w,
+                           uint32_t* out, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    const uint8_t* s = streams + i * cap;
+    uint32_t* o = out + i * nc * (int64_t)w;
+    int64_t start = 4;
+    for (int64_t k = 0; k < nc; ++k) {
+      for (int j = 0; j < w; ++j) {
+        int64_t p = start + 4 * j;
+        uint32_t v = 0;
+        if (p + 3 < cap) {
+          v = ((uint32_t)s[p] << 24) | ((uint32_t)s[p + 1] << 16) |
+              ((uint32_t)s[p + 2] << 8) | s[p + 3];
+        } else {
+          for (int t = 0; t < 4 && p + t < cap; ++t)
+            v |= (uint32_t)s[p + t] << (24 - 8 * t);
+        }
+        o[k * w + j] = v;
+      }
+      start += deltas[i * nc + k];
+    }
+  });
+}
+
 // ------------------------------------------------- container assembly
 // Gather B ragged payload rows of a (B, cap) matrix into one stream.
 int64_t tpz_pack_payloads(const uint8_t* comp, int64_t b, int64_t cap,

@@ -326,7 +326,7 @@ def _decode_bwt_segmented(comp: np.ndarray, clens: np.ndarray,
         for g in range(0, Bp * nseg, L):
             gb = min(L, Bp * nseg - g)
             syms[g : g + gb] = np.asarray(rdk.ari_decode_batch_kernel(
-                jnp.array(streams[g : g + gb]), deltas[g : g + gb],
+                streams[g : g + gb], deltas[g : g + gb],
                 jnp.array(seg_lens[g : g + gb]), seg,
                 increment=increment, threshold=threshold))
     else:
@@ -498,8 +498,10 @@ def _ari_decode_indexed(comp: np.ndarray, clens: np.ndarray,
         wmax = min(wmax, streams.shape[1])
         for g in range(0, B, L):
             gb = min(L, B - g)
+            # streams stay host-side: the batch kernel's prepack builds
+            # windows in threaded C++ and uploads those instead
             out[g : g + gb] = np.asarray(rdk.ari_decode_batch_kernel(
-                jnp.array(streams[g : g + gb, :wmax]),
+                streams[g : g + gb, :wmax],
                 deltas[g : g + gb],
                 jnp.array(olens[g : g + gb].astype(np.int32)), block_size,
                 increment=increment, threshold=threshold))

@@ -586,13 +586,30 @@ def ari_decode_batch_kernel(streams, deltas, lengths, n: int,
     if deltas_np.shape[1] < nc:
         deltas_np = np.pad(deltas_np,
                            ((0, 0), (0, nc - deltas_np.shape[1])))
-    comp = jnp.zeros((cap, width), jnp.uint8)
-    comp = comp.at[:, :b].set(jnp.transpose(streams))
-    dT = jnp.zeros((nc, width), jnp.int32).at[:, :b].set(
-        jnp.transpose(jnp.asarray(deltas_np[:, :nc])))
-    starts = 4 + jnp.cumsum(dT, axis=0) - dT
     w = window_words(max(int(deltas_np.max(initial=0)), 1))
-    windows = build_windows(comp, starts, w)
+    native = None
+    try:
+        from tpuzip.runtime import native as _native
+
+        if _native.available():
+            native = _native
+    except Exception:
+        pass
+    if native is not None:
+        # production prepack: threaded C++ window build (memcpy speed) +
+        # device transpose — the XLA build_windows element gather caps at
+        # ~190 MB/s while the kernel runs 280 (docs/DESIGN.md note 12)
+        wins = native.ari_build_windows(np.asarray(streams),
+                                        deltas_np[:, :nc], w)
+        wlane = jnp.zeros((width, nc * w), jnp.uint32).at[:b].set(wins)
+        windows = jnp.transpose(wlane)
+    else:
+        comp = jnp.zeros((cap, width), jnp.uint8)
+        comp = comp.at[:, :b].set(jnp.transpose(streams))
+        dT = jnp.zeros((nc, width), jnp.int32).at[:, :b].set(
+            jnp.transpose(jnp.asarray(deltas_np[:, :nc])))
+        starts = 4 + jnp.cumsum(dT, axis=0) - dT
+        windows = build_windows(comp, starts, w)
     cu = streams[:, :4].astype(jnp.uint32)
     code0 = jnp.zeros(width, jnp.uint32).at[:b].set(
         (cu[:, 0] << 24) | (cu[:, 1] << 16) | (cu[:, 2] << 8) | cu[:, 3])

@@ -84,6 +84,10 @@ def get_lib():
     lib.tpz_inflate_plan_batch.restype = None
     lib.tpz_inflate_plan_batch.argtypes = [u8p, i64, i64, i32p, i32p, u8p,
                                            i64, i64p, i64p, c_int]
+    lib.tpz_ari_build_windows.restype = None
+    lib.tpz_ari_build_windows.argtypes = [u8p, i64, i64, i32p, i64, c_int,
+                                          ctypes.POINTER(ctypes.c_uint32),
+                                          c_int]
     lib.tpz_pack_payloads.restype = i64
     lib.tpz_pack_payloads.argtypes = [u8p, i64, i64, i32p, u8p, i64]
     lib.tpz_unpack_payloads.restype = i64
@@ -94,6 +98,19 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def _contig(arr, dtype) -> np.ndarray:
+    """C-contiguous array of the given dtype.  np.ascontiguousarray and
+    same-dtype .astype take a pathological per-element route for large
+    strided u8 slices (31 MB/s vs 3 GB/s for .copy()); route through
+    .copy() on the matching-dtype path."""
+    a = np.asarray(arr)
+    if a.dtype != np.dtype(dtype):
+        a = a.astype(dtype)        # rare, small arrays in practice
+    elif not a.flags.c_contiguous:
+        a = a.copy()
+    return a
 
 
 def _u8(arr: np.ndarray):
@@ -187,9 +204,9 @@ def lz4_compress_batch(blocks: np.ndarray, lengths: np.ndarray,
     lengths: (B,) valid bytes per row.  Returns (comp (B, dcap) u8,
     clens (B,) i64).  Raises on any per-block failure."""
     lib = get_lib()
-    blocks = np.ascontiguousarray(blocks, np.uint8)
+    blocks = _contig(blocks, np.uint8)
     b, n = blocks.shape
-    lens = np.ascontiguousarray(lengths, np.int32)
+    lens = _contig(lengths, np.int32)
     dcap = n + n // 255 + 64
     dst = np.zeros((b, dcap), np.uint8)
     out = np.zeros(b, np.int64)
@@ -211,9 +228,9 @@ def lz4_decode_wplan_batch(comp: np.ndarray, clens: np.ndarray,
     the per-block status codes (-1 corrupt, -2 overflow) in out_lens for
     the caller's corruption-isolation machinery."""
     lib = get_lib()
-    comp = np.ascontiguousarray(comp, np.uint8)
+    comp = _contig(comp, np.uint8)
     b, scap = comp.shape
-    lens = np.ascontiguousarray(clens, np.int32)
+    lens = _contig(clens, np.int32)
     if patch_cap is None:
         patch_cap = out_cap + 64
     patch_cap = (patch_cap + 3) & ~3
@@ -241,9 +258,9 @@ def deflate_batch_native(blocks: np.ndarray, lengths: np.ndarray,
     """Deflate B block rows in parallel across cores.  Returns
     (comp (B, dcap) u8, clens (B,) i64)."""
     lib = get_lib()
-    blocks = np.ascontiguousarray(blocks, np.uint8)
+    blocks = _contig(blocks, np.uint8)
     b, n = blocks.shape
-    lens = np.ascontiguousarray(lengths, np.int32)
+    lens = _contig(lengths, np.int32)
     dcap = 2 * n + 4096
     dst = np.zeros((b, dcap), np.uint8)
     out = np.zeros(b, np.int64)
@@ -259,9 +276,9 @@ def inflate_batch_native(comp: np.ndarray, clens: np.ndarray, out_cap: int,
     """Inflate B compressed rows in parallel.  Returns
     (out (B, out_cap) u8, out_lens (B,) i64)."""
     lib = get_lib()
-    comp = np.ascontiguousarray(comp, np.uint8)
+    comp = _contig(comp, np.uint8)
     b, scap = comp.shape
-    lens = np.ascontiguousarray(clens, np.int32)
+    lens = _contig(clens, np.int32)
     dst = np.zeros((b, out_cap), np.uint8)
     out = np.zeros(b, np.int64)
     lib.tpz_inflate_batch(_u8(comp), b, scap, _i32(lens), _u8(dst),
@@ -276,9 +293,9 @@ def inflate_plan_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
     """Huffman-parse B deflate rows into copy plans in parallel.  Returns
     (plans (B, out_cap) i32, lits (B, out_cap) u8, out_lens, nlits)."""
     lib = get_lib()
-    comp = np.ascontiguousarray(comp, np.uint8)
+    comp = _contig(comp, np.uint8)
     b, scap = comp.shape
-    lens = np.ascontiguousarray(clens, np.int32)
+    lens = _contig(clens, np.int32)
     plans = np.zeros((b, out_cap), np.int32)
     lits = np.zeros((b, out_cap), np.uint8)
     out = np.zeros(b, np.int64)
@@ -289,6 +306,25 @@ def inflate_plan_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
     if (out < 0).any():
         raise ValueError("inflate_plan_batch failed (corrupt stream)")
     return plans, lits, out, nlits
+
+
+def ari_build_windows(streams: np.ndarray, deltas: np.ndarray, w: int,
+                      nthreads: int = 0) -> np.ndarray:
+    """Build the range decoder's per-chunk windows at host memcpy speed.
+    streams: (B, cap) u8 rows (zero-padded), deltas: (B, NC) i32 per-chunk
+    consumed bytes.  Returns (B, NC*w) u32 big-endian-packed window words
+    (lane-major; the device transposes to the kernel's (NC*w, lanes)
+    layout).  Matches kernels.range_decoder.build_windows bit for bit."""
+    lib = get_lib()
+    streams = _contig(streams, np.uint8)
+    deltas = _contig(deltas, np.int32)
+    b, cap = streams.shape
+    nc = deltas.shape[1]
+    out = np.zeros((b, nc * w), np.uint32)
+    lib.tpz_ari_build_windows(
+        _u8(streams), b, cap, _i32(deltas), nc, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), nthreads)
+    return out
 
 
 def deflate(data: bytes, max_chain: int = 64) -> bytes:
@@ -349,8 +385,8 @@ def ari_decode(data: bytes, num_syms: int, increment: int = 8,
 
 def pack_payloads(comp: np.ndarray, lens: np.ndarray) -> bytes:
     lib = get_lib()
-    comp = np.ascontiguousarray(comp, np.uint8)
-    lens = np.ascontiguousarray(lens, np.int32)
+    comp = _contig(comp, np.uint8)
+    lens = _contig(lens, np.int32)
     cap = int(lens.astype(np.int64).sum())
     dst = np.zeros(max(cap, 1), np.uint8)
     n = lib.tpz_pack_payloads(_u8(comp), comp.shape[0], comp.shape[1],
@@ -362,7 +398,7 @@ def pack_payloads(comp: np.ndarray, lens: np.ndarray) -> bytes:
 
 def unpack_payloads(stream: bytes, lens: np.ndarray, cap: int) -> np.ndarray:
     lib = get_lib()
-    lens = np.ascontiguousarray(lens, np.int32)
+    lens = _contig(lens, np.int32)
     b = lens.shape[0]
     src = np.frombuffer(stream, np.uint8) if stream else np.zeros(1, np.uint8)
     comp = np.zeros((b, cap), np.uint8)
