@@ -104,7 +104,7 @@ def main() -> None:
     code0 = (cu[:, 0] << 24) | (cu[:, 1] << 16) | (cu[:, 2] << 8) | cu[:, 3]
     # production decode prepack: threaded C++ window build (the XLA
     # take_along_axis formulation caps at ~190 MB/s — element-gather
-    # bound — while the kernel runs 280; see docs/DESIGN.md note 12)
+    # bound — while the kernel runs 280; see docs/DESIGN.md note 11)
     if native.available():
         t0 = time.perf_counter()
         wins = native.ari_build_windows(st2, d2, w)      # (BW, nc*w) u32
@@ -240,7 +240,19 @@ def main() -> None:
     int(bwt_dec_f(L, orgs, jl128))
     bwt_dec = B * N / timed(lambda: int(bwt_dec_f(L, orgs, jl128)))
     detail["bwt"] = {"forward_MBps": round(bwt_enc / 1e6, 1),
-                     "inverse_MBps": round(bwt_dec / 1e6, 1)}
+                     "inverse_device_MBps": round(bwt_dec / 1e6, 1)}
+    if native.available():
+        # production inverse: threaded C++ LF walk (decode output lands
+        # on the host; pointer chasing is latency-bound on the VPU)
+        Lnp = np.asarray(jax.device_get(L))
+        onp = np.asarray(jax.device_get(orgs), np.int32)
+        lnp = np.full(B, N, np.int32)
+        native.bwt_inverse_batch(Lnp, lnp, onp)
+        t0 = time.perf_counter()
+        inv = native.bwt_inverse_batch(Lnp, lnp, onp)
+        detail["bwt"]["inverse_MBps"] = round(
+            B * N / (time.perf_counter() - t0) / 1e6, 1)
+        assert inv[0, :N].tobytes() == blocks[0].tobytes()
 
     print(json.dumps({
         "metric": "ari_encode+decode_throughput",

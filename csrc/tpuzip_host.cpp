@@ -1077,6 +1077,38 @@ void tpz_ari_build_windows(const uint8_t* streams, int64_t b, int64_t cap,
   });
 }
 
+// Inverse BWT at host speed (threaded over blocks).  The LF walk is one
+// data-dependent load per output byte — latency-bound pointer chasing the
+// TPU cannot vectorize (no per-lane dynamic gather in Mosaic; the device
+// multi-walker formulation caps at ~38 MB/s).  Counting sort builds the
+// same stable-argsort inversion table as tpuzip.oracle.bwt.decode_block.
+void tpz_bwt_inverse_batch(const uint8_t* L, int64_t b, int64_t cap,
+                           const int32_t* lens, const int32_t* origins,
+                           uint8_t* out, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    const uint8_t* l = L + i * cap;
+    uint8_t* o = out + i * cap;
+    int64_t n = lens[i];
+    if (n <= 0) return;
+    std::vector<int32_t> order((size_t)n);
+    int64_t cnt[256] = {0};
+    for (int64_t k = 0; k < n; ++k) cnt[l[k]]++;
+    int64_t offs[256];
+    int64_t acc = 0;
+    for (int s = 0; s < 256; ++s) {
+      offs[s] = acc;
+      acc += cnt[s];
+    }
+    for (int64_t k = 0; k < n; ++k)
+      order[(size_t)offs[l[k]]++] = (int32_t)k;
+    int32_t p = order[(size_t)origins[i]];
+    for (int64_t k = 0; k < n; ++k) {
+      o[k] = l[p];
+      p = order[(size_t)p];
+    }
+  });
+}
+
 // ------------------------------------------------- container assembly
 // Gather B ragged payload rows of a (B, cap) matrix into one stream.
 int64_t tpz_pack_payloads(const uint8_t* comp, int64_t b, int64_t cap,

@@ -119,3 +119,26 @@ def test_native_deflate_inflate_batch_threaded(rng):
     i = 2
     got = lits[i][plans[i, : olens[i]]]
     assert got.tobytes() == rows[i].tobytes()
+
+
+def test_native_bwt_inverse_batch(rng):
+    """Threaded C++ inverse BWT == oracle decode_block, ragged batch."""
+    from tpuzip.oracle import bwt as obwt
+
+    B, cap = 7, 4096
+    rows = np.zeros((B, cap), np.uint8)
+    lens = np.zeros(B, np.int32)
+    orgs = np.zeros(B, np.int32)
+    raws = []
+    for i in range(B):
+        raw = (b"banana bwt %d " % i) * (20 + 5 * i) + bytes(
+            rng.integers(0, 256, 40, dtype=np.uint8))
+        raw = raw[: cap - 31 * i]
+        L, org = obwt.encode_block(raw)
+        raws.append(raw)
+        lens[i] = len(L)
+        orgs[i] = org
+        rows[i, : len(L)] = np.frombuffer(L, np.uint8)
+    out = native.bwt_inverse_batch(rows, lens, orgs)
+    for i in range(B):
+        assert out[i, : lens[i]].tobytes() == raws[i]

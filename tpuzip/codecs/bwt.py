@@ -276,6 +276,28 @@ def decode_batch_fast(L: jnp.ndarray, origins: jnp.ndarray,
 
 def decode_batch_auto(L: jnp.ndarray, origins: jnp.ndarray,
                       lengths: jnp.ndarray):
+    """Inverse BWT for a batch, production path.
+
+    The LF walk is one data-dependent load per output byte — pointer
+    chasing Mosaic cannot vectorize (no per-lane dynamic gather); the
+    device multi-walker formulation caps at ~38 MB/s/chip while threaded
+    C++ runs 400+ MB/s on the host the output lands on anyway
+    (docs/DESIGN.md note 11's rule).  Falls back to the device walk when
+    the native runtime is absent or under a jit trace."""
     b, n = L.shape
+    import numpy as _np
+
+    if not isinstance(L, jax.core.Tracer):
+        try:
+            from tpuzip.runtime import native
+
+            if native.available():
+                out = native.bwt_inverse_batch(
+                    _np.asarray(jax.device_get(L)),
+                    _np.asarray(jax.device_get(lengths), _np.int32),
+                    _np.asarray(jax.device_get(origins), _np.int32))
+                return jnp.asarray(out)
+        except Exception:
+            pass
     return decode_batch_fast(L, origins, lengths,
                              walkers_log2=_walk_rounds(b, n))

@@ -811,8 +811,13 @@ def decompress(container: bytes, mesh: Mesh | None = None,
             pass
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             if use_plan:
-                out_np, got = jdef.inflate_batch_planned(comp, clens,
-                                                         block_size)
+                # threaded C++ inflate (1000 MB/s at 4 threads, zero
+                # transfers — the output lands on the host anyway);
+                # inflate_batch_planned remains the device-gather
+                # formulation, inflate_batch the on-device cross-check
+                out_np, g64 = native.inflate_batch_native(
+                    comp, clens.astype(np.int32), block_size)
+                got = g64.astype(np.int32)
             else:
                 out_np, got = jdef.inflate_batch(jc, jl, block_size)
         errs = np.zeros(B)

@@ -598,7 +598,7 @@ def ari_decode_batch_kernel(streams, deltas, lengths, n: int,
     if native is not None:
         # production prepack: threaded C++ window build (memcpy speed) +
         # device transpose — the XLA build_windows element gather caps at
-        # ~190 MB/s while the kernel runs 280 (docs/DESIGN.md note 12)
+        # ~190 MB/s while the kernel runs 280 (docs/DESIGN.md note 11)
         wins = native.ari_build_windows(np.asarray(streams),
                                         deltas_np[:, :nc], w)
         wlane = jnp.zeros((width, nc * w), jnp.uint32).at[:b].set(wins)

@@ -84,6 +84,9 @@ def get_lib():
     lib.tpz_inflate_plan_batch.restype = None
     lib.tpz_inflate_plan_batch.argtypes = [u8p, i64, i64, i32p, i32p, u8p,
                                            i64, i64p, i64p, c_int]
+    lib.tpz_bwt_inverse_batch.restype = None
+    lib.tpz_bwt_inverse_batch.argtypes = [u8p, i64, i64, i32p, i32p, u8p,
+                                          c_int]
     lib.tpz_ari_build_windows.restype = None
     lib.tpz_ari_build_windows.argtypes = [u8p, i64, i64, i32p, i64, c_int,
                                           ctypes.POINTER(ctypes.c_uint32),
@@ -306,6 +309,22 @@ def inflate_plan_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
     if (out < 0).any():
         raise ValueError("inflate_plan_batch failed (corrupt stream)")
     return plans, lits, out, nlits
+
+
+def bwt_inverse_batch(L: np.ndarray, lengths: np.ndarray,
+                      origins: np.ndarray, nthreads: int = 0) -> np.ndarray:
+    """Inverse BWT for B block rows in parallel (counting-sort inversion
+    table + LF walk, same scheme as oracle.bwt.decode_block).  L: (B, cap)
+    u8 rows, lengths/origins: (B,) i32.  Returns (B, cap) u8."""
+    lib = get_lib()
+    L = _contig(L, np.uint8)
+    b, cap = L.shape
+    lens = _contig(lengths, np.int32)
+    orgs = _contig(origins, np.int32)
+    out = np.zeros((b, cap), np.uint8)
+    lib.tpz_bwt_inverse_batch(_u8(L), b, cap, _i32(lens), _i32(orgs),
+                              _u8(out), nthreads)
+    return out
 
 
 def ari_build_windows(streams: np.ndarray, deltas: np.ndarray, w: int,
