@@ -1077,6 +1077,239 @@ void tpz_ari_build_windows(const uint8_t* streams, int64_t b, int64_t cap,
   });
 }
 
+// ------------------------------------------------- BWT forward (SA-IS)
+namespace {
+
+// SA-IS (Nong/Zhang/Chan induced sorting), int32 indices.  s[0..n-1] over
+// alphabet [0, K) with a unique minimal sentinel s[n-1] = 0.
+void sais_core(const int32_t* s, int32_t* SA, int64_t n, int32_t K) {
+  if (n == 1) {
+    SA[0] = 0;
+    return;
+  }
+  std::vector<uint8_t> t((size_t)n);
+  t[(size_t)n - 1] = 1;
+  for (int64_t i = n - 2; i >= 0; --i)
+    t[(size_t)i] =
+        s[i] < s[i + 1] || (s[i] == s[i + 1] && t[(size_t)i + 1]);
+  auto is_lms = [&](int64_t i) {
+    return i > 0 && t[(size_t)i] && !t[(size_t)i - 1];
+  };
+  std::vector<int32_t> bkt((size_t)K);
+  auto buckets = [&](bool end) {
+    std::fill(bkt.begin(), bkt.end(), 0);
+    for (int64_t i = 0; i < n; ++i) bkt[s[i]]++;
+    int32_t sum = 0;
+    for (int32_t k = 0; k < K; ++k) {
+      sum += bkt[k];
+      bkt[k] = end ? sum : sum - bkt[k];
+    }
+  };
+  auto induce = [&]() {
+    buckets(false);
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t j = SA[i] - 1;
+      if (SA[i] > 0 && !t[(size_t)j]) SA[bkt[s[j]]++] = j;
+    }
+    buckets(true);
+    for (int64_t i = n - 1; i >= 0; --i) {
+      int32_t j = SA[i] - 1;
+      if (SA[i] > 0 && t[(size_t)j]) SA[--bkt[s[j]]] = j;
+    }
+  };
+  // stage 1: place LMS suffixes at bucket ends, induce-sort LMS substrings
+  buckets(true);
+  for (int64_t i = 0; i < n; ++i) SA[i] = -1;
+  for (int64_t i = 1; i < n; ++i)
+    if (is_lms(i)) SA[--bkt[s[i]]] = (int32_t)i;
+  induce();
+  // compact sorted LMS positions to the front
+  int64_t n1 = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (SA[i] > 0 && is_lms(SA[i])) SA[n1++] = SA[i];
+  // name LMS substrings in SA[n1..n)
+  for (int64_t i = n1; i < n; ++i) SA[i] = -1;
+  int32_t name = 0;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < n1; ++i) {
+    int64_t pos = SA[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (int64_t d = 0;; ++d) {
+        if (pos + d >= n || prev + d >= n ||
+            s[pos + d] != s[prev + d] ||
+            t[(size_t)(pos + d)] != t[(size_t)(prev + d)]) {
+          diff = true;
+          break;
+        }
+        if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) break;
+      }
+    }
+    if (diff) {
+      ++name;
+      prev = pos;
+    }
+    SA[n1 + pos / 2] = name - 1;
+  }
+  std::vector<int32_t> s1((size_t)n1);
+  for (int64_t i = n - 1, j = n1 - 1; i >= n1; --i)
+    if (SA[i] >= 0) s1[(size_t)j--] = SA[i];
+  // stage 2: order the reduced string
+  std::vector<int32_t> SA1((size_t)n1);
+  if (name < n1) {
+    sais_core(s1.data(), SA1.data(), n1, name);
+  } else {
+    for (int64_t i = 0; i < n1; ++i) SA1[(size_t)s1[i]] = (int32_t)i;
+  }
+  // stage 3: place LMS suffixes in final order, induce the rest
+  std::vector<int32_t> lms;
+  lms.reserve((size_t)n1);
+  for (int64_t i = 1; i < n; ++i)
+    if (is_lms(i)) lms.push_back((int32_t)i);
+  for (int64_t i = 0; i < n; ++i) SA[i] = -1;
+  buckets(true);
+  for (int64_t i = n1 - 1; i >= 0; --i) {
+    int32_t j = lms[(size_t)SA1[i]];
+    SA[--bkt[s[j]]] = j;
+  }
+  induce();
+}
+
+void rotation_order_sais(const uint8_t* data, int64_t n, int32_t* rot);
+void rotation_order(const uint8_t* data, int64_t n, int32_t* rot);
+
+// Ternary radix quicksort (Bentley–Sedgewick) of rotation indices over the
+// doubled buffer — the bzip2-style fast path.  Rotations equal through n
+// chars are equal rotations: the group is ordered by ascending index (the
+// oracle's stable-argsort tie rule).  `budget` counts partition work; when
+// a pathological block (long average LCP: runs, near-periodic data)
+// exhausts it, the caller falls back to SA-IS.
+bool mkq_rotations(const uint8_t* s2, int32_t* a, int64_t m, int64_t depth,
+                   int64_t n, int64_t* budget) {
+  while (m > 1) {
+    if (depth >= n) {  // equal rotations: index-ascending tie order
+      std::sort(a, a + m);
+      return true;
+    }
+    if ((*budget -= m) < 0) return false;
+    if (m <= 12) {  // insertion sort on (rotation suffix, index)
+      for (int64_t i = 1; i < m; ++i) {
+        int32_t v = a[i];
+        int64_t j = i;
+        while (j > 0) {
+          int c = memcmp(s2 + a[j - 1] + depth, s2 + v + depth,
+                         (size_t)(n - depth));
+          if (c < 0 || (c == 0 && a[j - 1] < v)) break;
+          a[j] = a[j - 1];
+          --j;
+        }
+        a[j] = v;
+      }
+      return true;
+    }
+    // median-of-3 pivot byte at this depth
+    uint8_t x = s2[a[0] + depth], y = s2[a[m / 2] + depth],
+            z = s2[a[m - 1] + depth];
+    uint8_t piv = x < y ? (y < z ? y : (x < z ? z : x))
+                        : (x < z ? x : (y < z ? z : y));
+    int64_t lt = 0, gt = m, i = 0;
+    while (i < gt) {
+      uint8_t c = s2[a[i] + depth];
+      if (c < piv) {
+        std::swap(a[lt++], a[i++]);
+      } else if (c > piv) {
+        std::swap(a[i], a[--gt]);
+      } else {
+        ++i;
+      }
+    }
+    if (!mkq_rotations(s2, a, lt, depth, n, budget)) return false;
+    if (!mkq_rotations(s2, a + gt, m - gt, depth, n, budget)) return false;
+    a += lt;
+    m = gt - lt;
+    ++depth;  // tail-recurse into the == group
+  }
+  return true;
+}
+
+// Cyclic-rotation order with the oracle's tie rule (equal rotations by
+// ascending start index; tpuzip.oracle.bwt.rotation_sort).  Fast path:
+// ternary radix quicksort over the doubled buffer (text LCPs are short);
+// pathological blocks (work budget exceeded) fall back to SA-IS over
+// data+data+sentinel with the KMP periodic reduction.
+void rotation_order(const uint8_t* data, int64_t n, int32_t* rot) {
+  if (n > 1) {
+    std::vector<uint8_t> s2((size_t)(2 * n));
+    memcpy(s2.data(), data, (size_t)n);
+    memcpy(s2.data() + n, data, (size_t)n);
+    for (int64_t i = 0; i < n; ++i) rot[i] = (int32_t)i;
+    int64_t budget = 8 * n;  // cheap probe: bail early on high-LCP data
+    if (mkq_rotations(s2.data(), rot, n, 0, n, &budget)) return;
+  }
+  rotation_order_sais(data, n, rot);
+}
+
+void rotation_order_sais(const uint8_t* data, int64_t n, int32_t* rot) {
+  if (n <= 0) return;
+  if (n == 1) {
+    rot[0] = 0;
+    return;
+  }
+  std::vector<int32_t> pi((size_t)n + 1);
+  pi[0] = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t k = pi[(size_t)i];
+    while (k >= 0 && data[k] != data[i]) k = pi[(size_t)k];
+    pi[(size_t)i + 1] = k + 1;
+  }
+  int64_t p = n - pi[(size_t)n];
+  if (p < n && n % p == 0) {
+    std::vector<int32_t> sub((size_t)p);
+    rotation_order(data, p, sub.data());
+    int64_t o = 0;
+    for (int64_t j = 0; j < p; ++j)
+      for (int64_t i = sub[(size_t)j]; i < n; i += p) rot[o++] = (int32_t)i;
+    return;
+  }
+  int64_t m = 2 * n + 1;
+  std::vector<int32_t> s((size_t)m);
+  for (int64_t i = 0; i < 2 * n; ++i) s[(size_t)i] = data[i % n] + 1;
+  s[(size_t)m - 1] = 0;
+  std::vector<int32_t> SA((size_t)m);
+  sais_core(s.data(), SA.data(), m, 257);
+  int64_t o = 0;
+  for (int64_t i = 0; i < m; ++i)
+    if (SA[i] < n) rot[o++] = SA[i];
+}
+
+}  // namespace
+
+// Forward BWT (threaded over blocks): rotation sort via SA-IS on the
+// doubled string — the suffix sort is branch-heavy pointer work the TPU's
+// batched lax.sort path handles at ~39 MB/s/chip; host SA-IS fans out
+// across cores.  Emits the last column and per-block origin, bit-exact vs
+// tpuzip.oracle.bwt.encode_block (incl. periodic ties).
+void tpz_bwt_forward_batch(const uint8_t* blocks, int64_t b, int64_t cap,
+                           const int32_t* lens, uint8_t* L,
+                           int32_t* origins, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    const uint8_t* d = blocks + i * cap;
+    uint8_t* out = L + i * cap;
+    int64_t n = lens[i];
+    origins[i] = 0;
+    if (n <= 0) return;
+    std::vector<int32_t> rot((size_t)n);
+    rotation_order(d, n, rot.data());
+    for (int64_t k = 0; k < n; ++k) {
+      int32_t r = rot[(size_t)k];
+      out[k] = d[(r + n - 1) % n];
+      if (r == 0) origins[i] = (int32_t)k;
+    }
+  });
+}
+
 // Inverse BWT at host speed (threaded over blocks).  The LF walk is one
 // data-dependent load per output byte — latency-bound pointer chasing the
 // TPU cannot vectorize (no per-lane dynamic gather in Mosaic; the device

@@ -142,3 +142,26 @@ def test_native_bwt_inverse_batch(rng):
     out = native.bwt_inverse_batch(rows, lens, orgs)
     for i in range(B):
         assert out[i, : lens[i]].tobytes() == raws[i]
+
+
+def test_native_bwt_forward_batch(rng):
+    """Threaded C++ rotation sort (mkq + SA-IS fallback) == oracle,
+    including periodic ties and bail-path (long-run) blocks."""
+    from tpuzip.oracle import bwt as obwt
+
+    cases = [b"", b"a", b"aaaa", b"abab", b"banana", b"mississippi",
+             bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),
+             (b"the quick brown fox " * 200)[:3000],
+             b"aabaab" * 500, bytes([7]) * 2048,
+             b"ba" + bytes([0]) * 2000 + b"ab"]
+    cap = max(len(c) for c in cases)
+    rows = np.zeros((len(cases), cap), np.uint8)
+    lens = np.zeros(len(cases), np.int32)
+    for i, raw in enumerate(cases):
+        lens[i] = len(raw)
+        rows[i, : len(raw)] = np.frombuffer(raw, np.uint8)
+    L, orgs = native.bwt_forward_batch(rows, lens)
+    for i, raw in enumerate(cases):
+        expL, expo = obwt.encode_block(raw)
+        assert L[i, : lens[i]].tobytes() == expL, i
+        assert int(orgs[i]) == expo, i

@@ -28,12 +28,17 @@ def test_bwt_encode_batch_fast_vs_oracle(rng):
     blocks[3] = np.frombuffer(b"ab" * (N // 2), np.uint8)  # periodic ties
     blocks[4, :3] = (65, 66, 65)
     blocks[5] = 0                                          # max ties
-    L, orgs = jbwt.encode_batch_fast(jnp.array(blocks), jnp.array(lens))
-    L, orgs = np.asarray(L), np.asarray(orgs)
-    for i in range(6):
-        expL, expo = obwt.encode_block(blocks[i, : lens[i]].tobytes())
-        assert L[i, : lens[i]].tobytes() == expL, i
-        assert orgs[i] == expo, i
+    # the public entry (routes to the threaded C++ sorter off-TPU) AND
+    # the XLA device formulation must both match the oracle
+    for fwd in (lambda b_, l: jbwt.encode_batch_fast(b_, l),
+                lambda b_, l: jbwt._encode_batch_fast(
+                    b_, l, bool((np.asarray(l) == b_.shape[1]).all()))):
+        L, orgs = fwd(jnp.array(blocks), jnp.array(lens))
+        L, orgs = np.asarray(L), np.asarray(orgs)
+        for i in range(6):
+            expL, expo = obwt.encode_block(blocks[i, : lens[i]].tobytes())
+            assert L[i, : lens[i]].tobytes() == expL, i
+            assert orgs[i] == expo, i
 
 
 @pytest.mark.parametrize("r", [0, 2, 4])

@@ -84,6 +84,9 @@ def get_lib():
     lib.tpz_inflate_plan_batch.restype = None
     lib.tpz_inflate_plan_batch.argtypes = [u8p, i64, i64, i32p, i32p, u8p,
                                            i64, i64p, i64p, c_int]
+    lib.tpz_bwt_forward_batch.restype = None
+    lib.tpz_bwt_forward_batch.argtypes = [u8p, i64, i64, i32p, u8p, i32p,
+                                          c_int]
     lib.tpz_bwt_inverse_batch.restype = None
     lib.tpz_bwt_inverse_batch.argtypes = [u8p, i64, i64, i32p, i32p, u8p,
                                           c_int]
@@ -309,6 +312,22 @@ def inflate_plan_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
     if (out < 0).any():
         raise ValueError("inflate_plan_batch failed (corrupt stream)")
     return plans, lits, out, nlits
+
+
+def bwt_forward_batch(blocks: np.ndarray, lengths: np.ndarray,
+                      nthreads: int = 0):
+    """Forward BWT for B block rows in parallel (SA-IS rotation sort,
+    oracle tie rule).  blocks: (B, cap) u8, lengths: (B,) i32.
+    Returns (L (B, cap) u8, origins (B,) i32)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, cap = blocks.shape
+    lens = _contig(lengths, np.int32)
+    L = np.zeros((b, cap), np.uint8)
+    origins = np.zeros(b, np.int32)
+    lib.tpz_bwt_forward_batch(_u8(blocks), b, cap, _i32(lens), _u8(L),
+                              _i32(origins), nthreads)
+    return L, origins
 
 
 def bwt_inverse_batch(L: np.ndarray, lengths: np.ndarray,
