@@ -227,9 +227,15 @@ def decode_batch(comp, comp_lens, out_n: int, max_steps: int | None = None):
                    static_argnames=("out_n", "max_steps", "interpret"))
 def _decode_lane_group(comp, comp_lens, out_n: int, max_steps: int,
                        interpret: bool = False):
-    from tpuzip.kernels.dc_scan import CHUNK, LANES, dc_decode_lanes
+    from tpuzip.kernels.dc_scan import CHUNK, dc_decode_lanes
+    from tpuzip.kernels.range_coder import lane_width
 
     b, cap = comp.shape
+    # lanes capped at 512: the DC kernel carries four (CHUNK, lanes) i32
+    # block buffers + the (256, lanes) scheduler — 1024 lanes overflow
+    # VMEM, and scaling is mild anyway (27/28/31 MB/s at 128/256/512 on
+    # run-dense data: per-step vector work dominates, unlike ari)
+    LANES = min(lane_width(b), 512)
     T = max_steps + (-max_steps) % CHUNK
     comp32 = comp.astype(jnp.int32)
     length = (comp32[:, 0] | (comp32[:, 1] << 8) | (comp32[:, 2] << 16)
@@ -257,11 +263,14 @@ def decode_batch_kernel(comp, comp_lens, out_n: int, max_steps: int,
     in parallel by XLA, one RUN per VPU step across 128 lanes, run-fill in
     XLA.  Splits batches > 128 into lane groups.  Same contract as
     decode_batch: -> (out (B, out_n) u8, out_len (B,) i32, err (B,))."""
+    from tpuzip.kernels.range_coder import lane_width
+
     b = comp.shape[0]
+    width = min(lane_width(b), 512)  # VMEM cap; see _decode_lane_group
     outs, lens_, errs = [], [], []
-    for g in range(0, b, 128):
-        o, ln, e = _decode_lane_group(comp[g : g + 128],
-                                      jnp.asarray(comp_lens)[g : g + 128],
+    for g in range(0, b, width):
+        o, ln, e = _decode_lane_group(comp[g : g + width],
+                                      jnp.asarray(comp_lens)[g : g + width],
                                       out_n, max_steps, interpret)
         outs.append(o)
         lens_.append(ln)

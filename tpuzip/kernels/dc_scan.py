@@ -37,6 +37,7 @@ INF = 0x7FFFFFFF
 def _dc_decode_kernel(vals_ref, first_ref, len_ref,
                       start_ref, rlen_ref, sym_ref, err_ref,
                       sched, pos_r, err_r):
+    lanes = err_ref.shape[1]
     length = len_ref[0, :]
 
     @pl.when(pl.program_id(0) == 0)
@@ -44,14 +45,14 @@ def _dc_decode_kernel(vals_ref, first_ref, len_ref,
         first = first_ref[:, :]
         sched[:, :] = jnp.where(first < length[None, :], first,
                                 jnp.int32(INF))
-        pos_r[0, :] = jnp.zeros((LANES,), jnp.int32)
-        err_r[0, :] = jnp.zeros((LANES,), jnp.int32)
+        pos_r[0, :] = jnp.zeros((lanes,), jnp.int32)
+        err_r[0, :] = jnp.zeros((lanes,), jnp.int32)
 
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
 
     def group_body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
-        slab = vals_ref[pl.ds(base, GROUP), :]          # (8, 128) i32
+        slab = vals_ref[pl.ds(base, GROUP), :]          # (8, lanes) i32
         srows, lrows, yrows = [], [], []
         for j in range(GROUP):
             d = slab[j, :]
@@ -95,44 +96,45 @@ def _dc_decode_kernel(vals_ref, first_ref, len_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dc_decode_lanes(vals: jnp.ndarray, first: jnp.ndarray,
                     lengths: jnp.ndarray, interpret: bool = False):
-    """vals: (T, 128) i32 pre-parsed distances time-major; first:
-    (256, 128) i32 per-symbol first occurrence; lengths: (128,) i32.
-    Returns (starts, run_lens, syms) (T, 128) i32 + err (128,) i32."""
+    """vals: (T, L) i32 pre-parsed distances time-major (L a multiple of
+    128, up to MAX_LANES — wide groups amortize the fixed per-step cost);
+    first: (256, L) i32 per-symbol first occurrence; lengths: (L,) i32.
+    Returns (starts, run_lens, syms) (T, L) i32 + err (L,) i32."""
     t, lanes = vals.shape
-    assert lanes == LANES and t % CHUNK == 0
+    assert lanes % LANES == 0 and t % CHUNK == 0
     grid = t // CHUNK
     starts, rlens, syms, err = pl.pallas_call(
         _dc_decode_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((t, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((t, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((t, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((t, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((t, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((t, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
         ),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, LANES), lambda i: (0, 0),
+            pl.BlockSpec((256, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((256, LANES), jnp.int32),  # sched
-            pltpu.VMEM((1, LANES), jnp.int32),    # pos
-            pltpu.VMEM((1, LANES), jnp.int32),    # err
+            pltpu.VMEM((256, lanes), jnp.int32),  # sched
+            pltpu.VMEM((1, lanes), jnp.int32),    # pos
+            pltpu.VMEM((1, lanes), jnp.int32),    # err
         ],
         interpret=interpret,
-    )(vals, first, lengths.reshape(1, LANES).astype(jnp.int32))
+    )(vals, first, lengths.reshape(1, lanes).astype(jnp.int32))
     return starts, rlens, syms, err[0]
