@@ -42,3 +42,18 @@ def test_device_timer():
     with device_timer() as t:
         sum(range(1000))
     assert t["seconds"] >= 0
+
+
+def test_cli_superbatch_roundtrip(tmp_path):
+    from tpuzip.cli import tpz
+
+    src = tmp_path / "in.bin"
+    comp = tmp_path / "out.tpzc"
+    back = tmp_path / "back.bin"
+    data = open("/root/repo/SURVEY.md", "rb").read() * 10
+    src.write_bytes(data)
+    assert tpz.main(["compress", "-c", "lz4", "--superbatch", "1",
+                     str(src), str(comp)]) == 0
+    assert comp.read_bytes()[:4] == b"TPZC"
+    assert tpz.main(["decompress", str(comp), str(back)]) == 0
+    assert back.read_bytes() == data

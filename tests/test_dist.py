@@ -186,3 +186,25 @@ def test_runner_roundtrip_lz4p():
                                 mesh=mesh)
     assert len(container) < len(data)
     assert runner.decompress(container, mesh=mesh) == data
+
+
+def test_corpus_pipeline_roundtrip():
+    """compress_corpus/decompress_corpus: multi-superbatch, pipelined,
+    order-preserving; truncation raises."""
+    import tpuzip
+
+    rng = np.random.default_rng(17)
+    text = (open("/root/repo/SURVEY.md", "rb").read() * 20)
+    data = (text + bytes(rng.integers(0, 256, 1 << 16, dtype=np.uint8)))
+    for codec in ("lz4", "ari"):
+        blob = tpuzip.compress_corpus(data, codec=codec, block_size=4096,
+                                      superbatch=96 * 1024, pipeline=2)
+        assert blob[:4] == b"TPZC"
+        assert tpuzip.decompress_corpus(blob) == data
+    with pytest.raises(ValueError):
+        tpuzip.decompress_corpus(blob[: len(blob) - 30])
+    # single-superbatch degenerate + empty input
+    small = tpuzip.compress_corpus(b"tiny", codec="rle")
+    assert tpuzip.decompress_corpus(small) == b"tiny"
+    empty = tpuzip.compress_corpus(b"", codec="lz4")
+    assert tpuzip.decompress_corpus(empty) == b""

@@ -36,6 +36,26 @@ def decompress(container: bytes) -> bytes:
     return runner.decompress(container)
 
 
+def compress_corpus(data: bytes, codec: str = "lz4",
+                    block_size: int = 1 << 16, superbatch: int = 8 << 20,
+                    pipeline: int = 2, **kw) -> bytes:
+    """Pipelined large-corpus compression: superbatches flow through a
+    `pipeline`-deep worker pool so one batch's host stages (threaded C++
+    encode/parse, container assembly) overlap the next one's device
+    stages.  See dist.runner.compress_corpus."""
+    from tpuzip.dist import runner
+
+    return runner.compress_corpus(data, codec=codec, block_size=block_size,
+                                  superbatch=superbatch, pipeline=pipeline,
+                                  **kw)
+
+
+def decompress_corpus(blob: bytes, pipeline: int = 2) -> bytes:
+    from tpuzip.dist import runner
+
+    return runner.decompress_corpus(blob, pipeline=pipeline)
+
+
 def open(file, mode: str = "rb", format: str = "lz4f", **kw):  # noqa: A001
     """Streaming reader/writer over a binary file object (tpuzip.io)."""
     from tpuzip import io as tio

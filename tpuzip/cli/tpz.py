@@ -37,9 +37,18 @@ def _compress(args) -> int:
     if args.format == "tpz":
         from tpuzip.dist import runner
 
-        out = runner.compress(data, codec=args.codec,
-                              block_size=args.block_size,
-                              config=_make_config(args), metrics=metrics)
+        if args.superbatch:
+            # pipelined corpus path: superbatches double-buffer so host
+            # stages overlap device stages (runner.compress_corpus)
+            out = runner.compress_corpus(
+                data, codec=args.codec, block_size=args.block_size,
+                superbatch=args.superbatch << 20,
+                config=_make_config(args))
+        else:
+            out = runner.compress(data, codec=args.codec,
+                                  block_size=args.block_size,
+                                  config=_make_config(args),
+                                  metrics=metrics)
     elif args.format == "lz4f":
         from tpuzip.codecs import lz4_frame
 
@@ -69,7 +78,10 @@ def _decompress(args) -> int:
     if args.format == "tpz":
         from tpuzip.dist import runner
 
-        out = runner.decompress(data, metrics=metrics)
+        if data[:4] == runner.MAGIC_CORPUS:
+            out = runner.decompress_corpus(data)
+        else:
+            out = runner.decompress(data, metrics=metrics)
     elif args.format == "lz4f":
         from tpuzip.oracle import lz4
 
@@ -130,6 +142,9 @@ def main(argv=None) -> int:
         sp.add_argument("-b", "--block-size", type=int, default=1 << 16)
         sp.add_argument("--metrics", action="store_true",
                         help="print per-phase metrics JSON to stdout")
+        sp.add_argument("--superbatch", type=int, default=0, metavar="MiB",
+                        help="pipelined corpus mode: superbatch size in "
+                             "MiB (0 = single container)")
         sp.add_argument("--ari-increment", type=int, default=None,
                         help="ari table-model frequency increment "
                              "(recorded in the container)")

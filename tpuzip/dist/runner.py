@@ -888,3 +888,68 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 f"corpus Adler-32 mismatch: "
                 f"{corpus_adler32(data):#x} != {a32:#x}")
     return data
+
+
+# ---------------------------------------------------------------------------
+# Pipelined corpus API: superbatch double-buffering
+# ---------------------------------------------------------------------------
+
+MAGIC_CORPUS = b"TPZC"
+
+
+def compress_corpus(data: bytes, codec: str = "lz4",
+                    block_size: int = 1 << 16,
+                    superbatch: int = 8 << 20, mesh: Mesh | None = None,
+                    pipeline: int = 2, block_checksums: bool = False,
+                    config=None) -> bytes:
+    """Compress a large corpus as a sequence of superbatch containers with
+    a `pipeline`-deep worker pool, so one superbatch's host stages (C++
+    threaded encode/parse, container assembly) overlap the next one's
+    device stages (JAX dispatch is async; the chip works while the host
+    packs).  Each superbatch is an independent `compress()` container, so
+    failures isolate and decode can stream.
+
+    Layout: ``TPZC [u32 count]`` then per superbatch ``[u64 len][tpz
+    container]``.
+    """
+    import struct as _struct
+    from concurrent.futures import ThreadPoolExecutor
+
+    pieces = [data[o : o + superbatch]
+              for o in range(0, max(len(data), 1), superbatch)]
+    out = [MAGIC_CORPUS, _struct.pack("<I", len(pieces))]
+    with ThreadPoolExecutor(max_workers=max(pipeline, 1)) as ex:
+        for blob in ex.map(
+                lambda p: compress(p, codec=codec, block_size=block_size,
+                                   mesh=mesh,
+                                   block_checksums=block_checksums,
+                                   config=config), pieces):
+            out.append(_struct.pack("<Q", len(blob)))
+            out.append(blob)
+    return b"".join(out)
+
+
+def decompress_corpus(blob: bytes, mesh: Mesh | None = None,
+                      pipeline: int = 2) -> bytes:
+    """Inverse of compress_corpus, with the same pipelined overlap."""
+    import struct as _struct
+    from concurrent.futures import ThreadPoolExecutor
+
+    if blob[:4] != MAGIC_CORPUS:
+        raise ValueError("not a tpz corpus container")
+    (count,) = _struct.unpack_from("<I", blob, 4)
+    pos = 8
+    parts = []
+    for _ in range(count):
+        if pos + 8 > len(blob):
+            raise ValueError("corpus container truncated")
+        (ln,) = _struct.unpack_from("<Q", blob, pos)
+        pos += 8
+        if pos + ln > len(blob):
+            raise ValueError("corpus container truncated")
+        parts.append(blob[pos : pos + ln])
+        pos += ln
+    if pos != len(blob):
+        raise ValueError("trailing bytes after corpus container")
+    with ThreadPoolExecutor(max_workers=max(pipeline, 1)) as ex:
+        return b"".join(ex.map(lambda c: decompress(c, mesh=mesh), parts))
