@@ -1012,6 +1012,24 @@ void tpz_lz4_decode_wplan_batch(const uint8_t* src, int64_t b, int64_t scap,
   });
 }
 
+void tpz_rle_encode_batch(const uint8_t* src, int64_t b, int64_t n,
+                          const int32_t* lens, uint8_t* dst, int64_t dcap,
+                          int64_t* out_lens, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] =
+        tpz_rle_encode(src + i * n, lens[i], dst + i * dcap, dcap);
+  });
+}
+
+void tpz_rle_decode_batch(const uint8_t* src, int64_t b, int64_t scap,
+                          const int32_t* slens, uint8_t* dst, int64_t dcap,
+                          int64_t* out_lens, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = slens[i] == 0 ? 0 :
+        tpz_rle_decode(src + i * scap, slens[i], dst + i * dcap, dcap);
+  });
+}
+
 void tpz_deflate_batch(const uint8_t* src, int64_t b, int64_t n,
                        const int32_t* lens, uint8_t* dst, int64_t dcap,
                        int64_t* out_lens, int max_chain, int nthreads) {

@@ -165,3 +165,28 @@ def test_native_bwt_forward_batch(rng):
         expL, expo = obwt.encode_block(raw)
         assert L[i, : lens[i]].tobytes() == expL, i
         assert int(orgs[i]) == expo, i
+
+
+def test_native_rle_batch_threaded(rng):
+    """Threaded batch RLE == oracle per block; corrupt row isolates."""
+    B, n = 10, 2048
+    rows = np.zeros((B, n), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        s = (bytes([i]) * (i * 97) + b"mix " * 60
+             + bytes(rng.integers(0, 4, 300, dtype=np.uint8)))[:n]
+        lens[i] = len(s)
+        rows[i, : len(s)] = np.frombuffer(s, np.uint8)
+    comp, clens = native.rle_encode_batch(rows, lens)
+    for i in range(B):
+        blob = comp[i, : clens[i]].tobytes()
+        assert blob == orle.encode(rows[i, : lens[i]].tobytes())
+    dec, dlens = native.rle_decode_batch(comp, clens.astype(np.int32), n)
+    assert (dlens == lens).all()
+    assert all(dec[i, : lens[i]].tobytes() == rows[i, : lens[i]].tobytes()
+               for i in range(B))
+    # truncated row -> negative status for that row only
+    bad = clens.astype(np.int32).copy()
+    bad[4] = max(int(bad[4]) - 1, 1)
+    _, st = native.rle_decode_batch(comp, bad, n)
+    assert st[0] == lens[0]

@@ -75,6 +75,12 @@ def get_lib():
     lib.tpz_lz4_decode_wplan_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                i64, u8p, i64, i64, i64p,
                                                i64p, c_int]
+    lib.tpz_rle_encode_batch.restype = None
+    lib.tpz_rle_encode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                         i64p, c_int]
+    lib.tpz_rle_decode_batch.restype = None
+    lib.tpz_rle_decode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                         i64p, c_int]
     lib.tpz_deflate_batch.restype = None
     lib.tpz_deflate_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64, i64p,
                                       c_int, c_int]
@@ -257,6 +263,40 @@ def lz4_decode_wplan_batch(comp: np.ndarray, clens: np.ndarray,
             raise ValueError(
                 "lz4_decode_wplan_batch failed (corrupt stream)")
     return wplans, patches, out, used
+
+
+def rle_encode_batch(blocks: np.ndarray, lengths: np.ndarray,
+                     nthreads: int = 0):
+    """RLE-encode B block rows in parallel.  Returns (comp (B, dcap) u8,
+    clens (B,) i64)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, n = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dcap = 2 * n + 16
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_rle_encode_batch(_u8(blocks), b, n, _i32(lens), _u8(dst), dcap,
+                             _i64(out), nthreads)
+    if (out < 0).any():
+        raise ValueError("rle_encode_batch failed")
+    return dst, out
+
+
+def rle_decode_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
+                     nthreads: int = 0):
+    """RLE-decode B compressed rows in parallel.  Returns
+    (out (B, out_cap) u8, out_lens (B,) i64 — negative = corrupt row,
+    left to the caller's corruption-isolation machinery)."""
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, scap = comp.shape
+    lens = _contig(clens, np.int32)
+    dst = np.zeros((b, out_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_rle_decode_batch(_u8(comp), b, scap, _i32(lens), _u8(dst),
+                             out_cap, _i64(out), nthreads)
+    return dst, out
 
 
 def deflate_batch_native(blocks: np.ndarray, lengths: np.ndarray,
