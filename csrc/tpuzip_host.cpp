@@ -299,6 +299,58 @@ int64_t tpz_lz4_decode_wplan(const uint8_t* src, int64_t n, int32_t* wplan,
   return o;
 }
 
+// LZ4 decode DWORD plan: one i32 address per output DOUBLE word (8 bytes),
+// halving the device gather ROW count vs tpz_lz4_decode_wplan (the v5e
+// gather unit is row-count bound).  The device fetches three adjacent u32
+// table words covering bytes addr..addr+11 and funnel-shifts two output
+// words.  Non-contiguous dwords are materialized into `patch` (8-byte
+// entries, so patch addresses stay 4-aligned / shift-free) and addressed
+// as -(patch_offset+1).  Returns decoded length, -1 corrupt, -2 patch
+// overflow.
+int64_t tpz_lz4_decode_wplan8(const uint8_t* src, int64_t n, int32_t* wplan,
+                              uint8_t* patch, int64_t cap,
+                              int64_t patch_cap, int64_t* patch_used) {
+  std::vector<int32_t> bplan((size_t)cap);
+  int64_t o = tpz_lz4_decode_plan(src, n, bplan.data(), cap);
+  if (o < 0) return o;
+  int64_t pu = 0;
+  int64_t dwords = (o + 7) >> 3;
+  for (int64_t w = 0; w < dwords; ++w) {
+    int64_t b0 = w << 3;
+    int32_t p0 = bplan[(size_t)b0];
+    bool contig = b0 + 7 < o;
+    for (int64_t k = 1; contig && k < 8; ++k)
+      contig = bplan[(size_t)(b0 + k)] == p0 + k;
+    if (contig) {
+      wplan[w] = p0;
+    } else {
+      if (pu + 8 > patch_cap) return -2;
+      for (int64_t k = 0; k < 8; ++k)
+        patch[pu + k] = (b0 + k < o) ? src[bplan[(size_t)(b0 + k)]] : 0;
+      wplan[w] = (int32_t)(-(pu + 1));
+      pu += 8;
+    }
+  }
+  *patch_used = pu;
+  return o;
+}
+
+void tpz_lz4_decode_wplan8_batch(const uint8_t* src, int64_t b,
+                                 int64_t scap, const int32_t* slens,
+                                 int32_t* wplans, int64_t nw,
+                                 uint8_t* patches, int64_t patch_cap,
+                                 int64_t out_cap, int64_t* out_lens,
+                                 int64_t* patch_used, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    int64_t pu = 0;
+    out_lens[i] = tpz_lz4_decode_wplan8(src + i * scap, slens[i],
+                                        wplans + i * nw,
+                                        patches + i * patch_cap, out_cap,
+                                        patch_cap, &pu);
+    patch_used[i] = pu;
+  });
+}
+
 // ---------------------------------------------------------------- inflate
 // RFC 1951 inflate (production host path for the deflate/zlib containers;
 // the device symbol-loop formulation in codecs/deflate.py is the TPU

@@ -112,3 +112,43 @@ def test_batch_roundtrip(rng):
     for i in range(B):
         assert int(olens[i]) == lens[i]
         assert np.array_equal(np.asarray(out)[i, : lens[i]], blocks[i, : lens[i]])
+
+
+def test_decode_batch_wplanned8(rng):
+    """Dword-plan decode (one gather row per 8 output bytes): bit-exact
+    across text/runs/random + ragged lengths; corrupt rows isolate;
+    non-8-aligned out_n falls back to the word plan."""
+    import numpy as np
+
+    from tpuzip.oracle import lz4 as olz4
+    from tpuzip.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime not built")
+    N, B = 4096, 6
+    comp = np.zeros((B, N + N // 255 + 64), np.uint8)
+    clens = np.zeros(B, np.int64)
+    srcs = []
+    for i in range(B):
+        if i % 3 == 0:
+            s = (b"the quick brown fox " * 300)[: N - 11 * i]
+        elif i % 3 == 1:
+            s = (bytes([i]) * 1500 + b"mixed tail " * 100)[: N - 7 * i]
+        else:
+            s = bytes(rng.integers(0, 256, N - 13 * i, dtype=np.uint8))
+        srcs.append(s)
+        c = olz4.compress_block(s)
+        comp[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    out, olens, errs = jlz4.decode_batch_wplanned8(comp, clens, N)
+    out = np.asarray(out)
+    assert not np.asarray(errs).any()
+    for i in range(B):
+        assert int(olens[i]) == len(srcs[i])
+        assert out[i, : len(srcs[i])].tobytes() == srcs[i], i
+    bad = comp.copy()
+    bad[2, : int(clens[2])] = 0xFF
+    _, _, e2 = jlz4.decode_batch_wplanned8(bad, clens, N)
+    assert np.asarray(e2)[2] == 1 and not np.asarray(e2)[0]

@@ -358,6 +358,62 @@ def _gather_wplan(comp, patches, wplans, olens):
     return jnp.where(mask, out, 0).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _gather_wplan8(comp, patches, wplans, olens):
+    """Dword-plan decode executor: one address per output DOUBLE word —
+    fetch the three adjacent u32 words of the virtual table
+    [comp row | patch row] covering bytes addr..addr+11 and funnel-shift
+    two output words.  HALF the gather rows of _gather_wplan per output
+    byte (the v5e gather unit is row-count bound at ~48M rows/s)."""
+    b, cap = comp.shape
+    nw = wplans.shape[1]
+    vt = jnp.concatenate([comp, patches], axis=1)
+    wv = vt.shape[1] // 4
+    vtw = jax.lax.bitcast_convert_type(
+        vt.reshape(b, wv, 4), jnp.uint32)                   # little-endian
+    trip = jnp.stack([vtw, jnp.roll(vtw, -1, axis=1),
+                      jnp.roll(vtw, -2, axis=1)], axis=-1)  # (b, wv, 3)
+    addr = jnp.where(wplans >= 0, wplans, cap + (-wplans - 1))
+    a0 = (addr >> 2) + (jnp.arange(b, dtype=jnp.int32) * wv)[:, None]
+    ppp = jnp.take(trip.reshape(-1, 3), a0.reshape(-1), axis=0)
+    w0, w1, w2 = ppp[:, 0], ppp[:, 1], ppp[:, 2]
+    sh = ((addr & 3) << 3).reshape(-1).astype(jnp.uint32)
+    inv = (32 - sh) & 31
+    o0 = jnp.where(sh == 0, w0, (w0 >> sh) | (w1 << inv))
+    o1 = jnp.where(sh == 0, w1, (w1 >> sh) | (w2 << inv))
+    out = jax.lax.bitcast_convert_type(
+        jnp.stack([o0, o1], axis=-1).reshape(b, nw, 2, 1),
+        jnp.uint8).reshape(b, nw * 8)
+    mask = jnp.arange(nw * 8, dtype=jnp.int32)[None, :] < olens[:, None]
+    return jnp.where(mask, out, 0).astype(jnp.uint8)
+
+
+def decode_batch_wplanned8(comp_np, clens_np, out_n: int):
+    """Dword-plan variant of decode_batch_wplanned: one gather row per
+    EIGHT output bytes (csrc tpz_lz4_decode_wplan8_batch).  Falls back to
+    the word plan when out_n isn't 8-aligned, to the byte plan on patch
+    overflow."""
+    import numpy as np
+
+    from tpuzip.runtime import native
+
+    comp_np = np.asarray(comp_np)
+    clens_np = np.asarray(clens_np)
+    if out_n % 8:
+        return decode_batch_wplanned(comp_np, clens_np, out_n)
+    if comp_np.shape[1] % 4:
+        comp_np = np.pad(comp_np, ((0, 0), (0, 4 - comp_np.shape[1] % 4)))
+    wplans, patches, st, _used = native.lz4_decode_wplan8_batch(
+        comp_np, clens_np.astype(np.int32), out_n, strict=False)
+    if (st == -2).any():
+        return decode_batch_planned(comp_np, clens_np, out_n)
+    errs = (st == -1).astype(np.int32)
+    olens = np.where(st > 0, st, 0).astype(np.int32)
+    out = _gather_wplan8(jnp.asarray(comp_np), jnp.asarray(patches),
+                         jnp.asarray(wplans), jnp.asarray(olens))
+    return out, jnp.asarray(olens), jnp.asarray(errs)
+
+
 def decode_batch_planned(comp_np, clens_np, out_n: int):
     """Host-parse/device-copy-plan decode (VERDICT r1 item 3; SURVEY.md
     :175-179 hot loop, re-architected): the C++ parser resolves every

@@ -75,6 +75,10 @@ def get_lib():
     lib.tpz_lz4_decode_wplan_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                i64, u8p, i64, i64, i64p,
                                                i64p, c_int]
+    lib.tpz_lz4_decode_wplan8_batch.restype = None
+    lib.tpz_lz4_decode_wplan8_batch.argtypes = [u8p, i64, i64, i32p, i32p,
+                                                i64, u8p, i64, i64, i64p,
+                                                i64p, c_int]
     lib.tpz_rle_encode_batch.restype = None
     lib.tpz_rle_encode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
                                          i64p, c_int]
@@ -262,6 +266,35 @@ def lz4_decode_wplan_batch(comp: np.ndarray, clens: np.ndarray,
         if (out < 0).any():
             raise ValueError(
                 "lz4_decode_wplan_batch failed (corrupt stream)")
+    return wplans, patches, out, used
+
+
+def lz4_decode_wplan8_batch(comp: np.ndarray, clens: np.ndarray,
+                            out_cap: int, patch_cap: int | None = None,
+                            nthreads: int = 0, strict: bool = True):
+    """Dword-granular (8-byte) LZ4 copy plans in parallel: half the device
+    gather rows of lz4_decode_wplan_batch.  Same contract/statuses."""
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, scap = comp.shape
+    lens = _contig(clens, np.int32)
+    if patch_cap is None:
+        patch_cap = out_cap + 64
+    patch_cap = (patch_cap + 7) & ~7
+    nw = max((out_cap + 7) // 8, 1)
+    wplans = np.zeros((b, nw), np.int32)
+    patches = np.zeros((b, patch_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    used = np.zeros(b, np.int64)
+    lib.tpz_lz4_decode_wplan8_batch(_u8(comp), b, scap, _i32(lens),
+                                    _i32(wplans), nw, _u8(patches),
+                                    patch_cap, out_cap, _i64(out),
+                                    _i64(used), nthreads)
+    if strict:
+        if (out == -2).any():
+            raise OverflowError("wplan8 patch budget exceeded")
+        if (out < 0).any():
+            raise ValueError("wplan8 failed (corrupt stream)")
     return wplans, patches, out, used
 
 
