@@ -41,6 +41,28 @@ def make_corpus(nbytes: int) -> bytes:
     return bytes(out[:nbytes])
 
 
+def _axon_tunnel_down() -> bool:
+    """True when the axon relay is pinned but none of its ports answer —
+    jax backend init would HANG (blocking connect), so main() diverts to
+    the CPU no-op record instead.  Port list: /root/.tpu_init.py."""
+    import os
+    import socket
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    for p in (8082, 8083, 8087, 8092, 8093, 8097, 8102, 8103, 8107,
+              8112, 8113, 8117):
+        s = socket.socket()
+        s.settimeout(0.3)
+        try:
+            s.connect(("127.0.0.1", p))
+            s.close()
+            return False
+        except OSError:
+            s.close()
+    return True
+
+
 def timed(fn, iters=3):
     fn()
     t0 = time.perf_counter()
@@ -52,6 +74,8 @@ def timed(fn, iters=3):
 def main() -> None:
     import jax
 
+    if _axon_tunnel_down():
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
