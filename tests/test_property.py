@@ -56,3 +56,62 @@ def test_dc_roundtrip(data):
 @given(BYTES)
 def test_ari_roundtrip(data):
     assert ari.decode_bytes(ari.encode_bytes(data), len(data)) == data
+
+
+# ---- native threaded batch stages vs the oracle (property level) --------
+
+def _native_or_skip():
+    import pytest
+
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    return native
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(BYTES, RUNS), min_size=1, max_size=6))
+def test_native_batch_stages_roundtrip(blocks):
+    """Threaded C++ batch LZ4/RLE/BWT agree with the oracle on arbitrary
+    ragged batches (incl. empty rows)."""
+    import numpy as np
+
+    native = _native_or_skip()
+    cap = max(max((len(b) for b in blocks), default=1), 1)
+    B = len(blocks)
+    rows = np.zeros((B, cap), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, b in enumerate(blocks):
+        lens[i] = len(b)
+        rows[i, : len(b)] = np.frombuffer(b, np.uint8)
+    # RLE
+    comp, clens = native.rle_encode_batch(rows, lens)
+    for i, b in enumerate(blocks):
+        assert comp[i, : clens[i]].tobytes() == rle.encode(b)
+    dec, dl = native.rle_decode_batch(comp, clens.astype(np.int32), cap)
+    assert (dl == lens).all()
+    # LZ4 (skip zero-length rows: block format emits 1 byte for empty)
+    comp2, cl2 = native.lz4_compress_batch(rows, lens)
+    for i, b in enumerate(blocks):
+        assert comp2[i, : cl2[i]].tobytes() == lz4.compress_block(b)
+    # BWT forward+inverse
+    L, orgs = native.bwt_forward_batch(rows, lens)
+    for i, b in enumerate(blocks):
+        eL, eo = bwt.encode_block(b)
+        assert L[i, : lens[i]].tobytes() == eL and int(orgs[i]) == eo
+    back = native.bwt_inverse_batch(L, lens, orgs)
+    for i, b in enumerate(blocks):
+        assert back[i, : lens[i]].tobytes() == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.one_of(BYTES, RUNS))
+def test_corpus_api_roundtrip(data):
+    """Pipelined corpus API round-trips arbitrary bytes (tiny
+    superbatches force the multi-container path)."""
+    import tpuzip
+
+    blob = tpuzip.compress_corpus(data, codec="rle", block_size=512,
+                                  superbatch=1024)
+    assert tpuzip.decompress_corpus(blob) == data
