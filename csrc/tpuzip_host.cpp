@@ -209,6 +209,102 @@ int64_t tpz_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
   return o;
 }
 
+// Chained-match LZ4 encoder: same block format, greedy policy upgraded to
+// best-of-chain (depth max_chain) — strictly denser matches than the
+// single-probe reference policy, so compressed size only shrinks ("improve
+// behind a flag"; max_chain=1 falls back to the reference-identical path).
+int64_t tpz_lz4_compress_chained(const uint8_t* src, int64_t n, uint8_t* dst,
+                                 int64_t cap, int max_chain) {
+  if (max_chain <= 1) return tpz_lz4_compress(src, n, dst, cap);
+  const int HASH_LOG = 16;
+  const int64_t MFLIMIT = 12, LASTLIT = 5, WIN = 0xFFFF;
+  if (n == 0) {
+    if (cap < 1) return -1;
+    dst[0] = 0;
+    return 1;
+  }
+  std::vector<int32_t> head((size_t)1 << HASH_LOG, -1);
+  std::vector<int32_t> prevc((size_t)n, -1);
+  auto hash4 = [&](int64_t i) {
+    uint32_t seq;
+    memcpy(&seq, src + i, 4);
+    return (seq * 2654435761u) >> (32 - HASH_LOG);
+  };
+  auto insert = [&](int64_t i) {
+    if (i + 3 < n) {
+      uint32_t h = hash4(i);
+      prevc[(size_t)i] = head[h];
+      head[h] = (int32_t)i;
+    }
+  };
+  auto emit_len = [&](int64_t len, int64_t& o) {
+    int64_t rem = len - 15;
+    while (rem >= 255) {
+      dst[o++] = 255;
+      rem -= 255;
+    }
+    dst[o++] = (uint8_t)rem;
+  };
+  int64_t anchor = 0, i = 0, o = 0;
+  int64_t limit = n - MFLIMIT > 0 ? n - MFLIMIT : 0;
+  int64_t lim = n - LASTLIT;
+  while (i < limit) {
+    int64_t best = 0, bestpos = -1;
+    if (i + 3 < n) {
+      int32_t c = head[hash4(i)];
+      int chain = max_chain;
+      while (c >= 0 && i - c <= WIN && chain-- > 0) {
+        if (src[c + best] == src[i + best]) {  // cheap reject at cur best
+          int64_t m = 0;
+          while (i + m < lim && src[c + m] == src[i + m]) ++m;
+          if (m > best) {
+            best = m;
+            bestpos = c;
+            if (i + m >= lim) break;
+          }
+        }
+        c = prevc[(size_t)c];
+      }
+    }
+    if (best >= 4 && bestpos >= 0) {
+      int64_t lit = i - anchor, ml = best - 4;
+      if (o + lit + 16 + lit / 255 + ml / 255 + 1 > cap) return -1;
+      dst[o++] = (uint8_t)(((lit < 15 ? lit : 15) << 4) |
+                           (ml < 15 ? ml : 15));
+      if (lit >= 15) emit_len(lit, o);
+      memcpy(dst + o, src + anchor, (size_t)lit);
+      o += lit;
+      uint16_t off = (uint16_t)(i - bestpos);
+      memcpy(dst + o, &off, 2);
+      o += 2;
+      if (ml >= 15) emit_len(ml, o);
+      for (int64_t e = i + best; i < e; ++i) insert(i);
+      anchor = i;
+    } else {
+      insert(i);
+      ++i;
+    }
+  }
+  int64_t lit = n - anchor;
+  if (o + lit + 1 + lit / 255 + 1 > cap) return -1;
+  dst[o++] = (uint8_t)((lit < 15 ? lit : 15) << 4);
+  if (lit >= 15) emit_len(lit, o);
+  memcpy(dst + o, src + anchor, (size_t)lit);
+  o += lit;
+  return o;
+}
+
+void tpz_lz4_compress_chained_batch(const uint8_t* src, int64_t b,
+                                    int64_t n, const int32_t* lens,
+                                    uint8_t* dst, int64_t dcap,
+                                    int64_t* out_lens, int max_chain,
+                                    int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_lz4_compress_chained(src + i * n, lens[i],
+                                           dst + i * dcap, dcap, max_chain);
+  });
+}
+
 // LZ4 decode PLAN: parse the token stream at host speed and emit, for
 // every output byte, the position of the compressed-stream LITERAL it
 // ultimately copies from (matches resolved transitively, overlap included).

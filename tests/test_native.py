@@ -190,3 +190,27 @@ def test_native_rle_batch_threaded(rng):
     bad[4] = max(int(bad[4]) - 1, 1)
     _, st = native.rle_decode_batch(comp, bad, n)
     assert st[0] == lens[0]
+
+
+def test_native_lz4_chained_encoder(rng):
+    """Chained-match LZ4 (max_chain>1): same block format (liblz4-
+    decodable, our decoder round-trips), output never larger than the
+    single-probe reference policy, and strictly smaller on hash-colliding
+    repetitive data."""
+    from tpuzip.oracle import liblz4
+
+    # repetitive text with interleaved patterns -> chain search wins
+    s = (b"abcdefgh01234567" * 40 + b"abcdefgh99999999" * 40) * 8 \
+        + bytes(rng.integers(0, 256, 500, dtype=np.uint8))
+    n = len(s)
+    rows = np.frombuffer(s, np.uint8).reshape(1, n)
+    lens = np.array([n], np.int32)
+    c1, l1 = native.lz4_compress_batch(rows, lens, max_chain=1)
+    c64, l64 = native.lz4_compress_batch(rows, lens, max_chain=64)
+    assert l64[0] <= l1[0]
+    blob = c64[0, : l64[0]].tobytes()
+    if liblz4.available():
+        assert liblz4.decompress_block(blob, n) == s
+    assert native.lz4_decompress(blob, n + 64) == s
+    # max_chain=1 stays bit-identical to the reference greedy policy
+    assert c1[0, : l1[0]].tobytes() == olz4.compress_block(s)

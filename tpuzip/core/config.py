@@ -20,6 +20,10 @@ class Lz4Config:
     hash_log: int = 16              # encoder hash table = 2^hash_log entries
     device_encode: bool = False     # force the XLA batch encoder in the
     #                                 runner (default: C++ host encoder)
+    max_chain: int = 1              # match-search chain depth: 1 = the
+    #                                 reference-identical single-probe
+    #                                 greedy; >1 = denser matches, smaller
+    #                                 output (same format)
 
 
 @dataclasses.dataclass

@@ -642,7 +642,8 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         from tpuzip.runtime import native
 
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
-            comp_np, cl64 = native.lz4_compress_batch(blocks, lengths)
+            comp_np, cl64 = native.lz4_compress_batch(
+                blocks, lengths, max_chain=config.codec.lz4.max_chain)
         with metrics.phase("assemble"):
             clens_np = cl64.astype(np.int64)
             payload = native.pack_payloads(

@@ -75,6 +75,12 @@ def get_lib():
     lib.tpz_lz4_decode_wplan_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                i64, u8p, i64, i64, i64p,
                                                i64p, c_int]
+    lib.tpz_lz4_compress_chained.restype = i64
+    lib.tpz_lz4_compress_chained.argtypes = [u8p, i64, u8p, i64, c_int]
+    lib.tpz_lz4_compress_chained_batch.restype = None
+    lib.tpz_lz4_compress_chained_batch.argtypes = [u8p, i64, i64, i32p,
+                                                   u8p, i64, i64p, c_int,
+                                                   c_int]
     lib.tpz_lz4_decode_wplan8_batch.restype = None
     lib.tpz_lz4_decode_wplan8_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                 i64, u8p, i64, i64, i64p,
@@ -215,10 +221,13 @@ def _i64(arr: np.ndarray):
 
 
 def lz4_compress_batch(blocks: np.ndarray, lengths: np.ndarray,
-                       nthreads: int = 0):
+                       nthreads: int = 0, max_chain: int = 1):
     """Compress B block rows in parallel across cores.  blocks: (B, n) u8,
     lengths: (B,) valid bytes per row.  Returns (comp (B, dcap) u8,
-    clens (B,) i64).  Raises on any per-block failure."""
+    clens (B,) i64).  max_chain=1 is the reference-identical single-probe
+    greedy; >1 searches a bounded hash chain for denser matches (same
+    format, strictly smaller-or-equal output).  Raises on any per-block
+    failure."""
     lib = get_lib()
     blocks = _contig(blocks, np.uint8)
     b, n = blocks.shape
@@ -226,8 +235,13 @@ def lz4_compress_batch(blocks: np.ndarray, lengths: np.ndarray,
     dcap = n + n // 255 + 64
     dst = np.zeros((b, dcap), np.uint8)
     out = np.zeros(b, np.int64)
-    lib.tpz_lz4_compress_batch(_u8(blocks), b, n, _i32(lens), _u8(dst),
-                               dcap, _i64(out), nthreads)
+    if max_chain > 1:
+        lib.tpz_lz4_compress_chained_batch(_u8(blocks), b, n, _i32(lens),
+                                           _u8(dst), dcap, _i64(out),
+                                           max_chain, nthreads)
+    else:
+        lib.tpz_lz4_compress_batch(_u8(blocks), b, n, _i32(lens), _u8(dst),
+                                   dcap, _i64(out), nthreads)
     if (out < 0).any():
         raise ValueError("lz4_compress_batch failed")
     return dst, out
