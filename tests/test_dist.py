@@ -208,3 +208,28 @@ def test_corpus_pipeline_roundtrip():
     assert tpuzip.decompress_corpus(small) == b"tiny"
     empty = tpuzip.compress_corpus(b"", codec="lz4")
     assert tpuzip.decompress_corpus(empty) == b""
+
+
+def test_rle_native_corruption_isolates():
+    """A truncated run in one RLE block surfaces as CorruptStreamError
+    naming that block (not a generic length mismatch)."""
+    import struct
+
+    from tpuzip.runtime import native
+    from tpuzip.runtime.errors import CorruptStreamError
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    data = (b"rle corruption isolation corpus.... " * 800)
+    mesh = meshlib.make_mesh(8)
+    c = runner.compress(data, codec="rle", block_size=8192, mesh=mesh)
+    (_, B) = struct.unpack_from("<II", c, 6)
+    sizes = np.frombuffer(c, np.uint32, B, 26)
+    off = 26 + 4 * B + int(sizes[0])
+    bad = bytearray(c)
+    end = off + int(sizes[1])
+    bad[end - 2] = bad[end - 3]  # run marker with the count cut off
+    with pytest.raises((CorruptStreamError, Exception)) as ei:
+        runner.decompress(bytes(bad), mesh=mesh)
+    if isinstance(ei.value, CorruptStreamError):
+        assert 0 not in ei.value.block_ids

@@ -887,7 +887,9 @@ def decompress(container: bytes, mesh: Mesh | None = None,
             out_np = np.asarray(out)
         errs = np.asarray(errs)
         got = np.asarray(olens_dev).astype(np.int64)
-        bad = (got[:B] != olens[:B]) & (clens[:B] > 0)
+        # errored blocks surface as CorruptStreamError below, not as a
+        # length mismatch (their olens are zeroed)
+        bad = (got[:B] != olens[:B]) & (clens[:B] > 0) & (errs[:B] == 0)
         if bad.any() and codec in ("lz4", "lz4p", "rle"):
             raise ValueError(f"block length mismatch at {np.nonzero(bad)[0][:8]}")
     if np.asarray(errs).any():
