@@ -57,3 +57,20 @@ def test_cli_superbatch_roundtrip(tmp_path):
     assert comp.read_bytes()[:4] == b"TPZC"
     assert tpz.main(["decompress", str(comp), str(back)]) == 0
     assert back.read_bytes() == data
+
+
+def test_cli_trace_flag(tmp_path):
+    """--trace captures a jax.profiler trace directory during compress."""
+    import os
+
+    from tpuzip.cli import tpz
+
+    src = tmp_path / "in.bin"
+    comp = tmp_path / "out.tpz"
+    tdir = tmp_path / "trace"
+    src.write_bytes(b"trace me " * 2000)
+    assert tpz.main(["compress", "-c", "rle", "--trace", str(tdir),
+                     str(src), str(comp)]) == 0
+    # profiler writes a plugins/profile/<ts>/ tree
+    found = [p for p, _, fs in os.walk(tdir) for f in fs]
+    assert found, "trace directory is empty"

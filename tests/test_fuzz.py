@@ -2,6 +2,8 @@
 wrong data as a *valid* result — they either error out or produce output
 that fails the container/stream checksum (SURVEY §5 failure detection)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -101,3 +103,27 @@ def test_fuzz_jax_rle_dc_decode(rng):
         arr[: len(bad)] = np.frombuffer(bad, np.uint8)
         out, olen, err = jdc.decode(jnp.array(arr), jnp.int32(len(bad)), N)
         assert int(err) in (0, 1)
+
+
+def test_corpus_container_fuzz(rng):
+    """Random mutations of the TPZC corpus container must raise a clean
+    error or round-trip — never crash, hang, or return wrong bytes
+    silently (the corpus Adler-32 inside each superbatch catches payload
+    damage)."""
+    import tpuzip
+    from tpuzip.runtime.errors import TpzError
+
+    data = (b"corpus fuzz body " * 600)
+    blob = bytearray(tpuzip.compress_corpus(data, codec="rle",
+                                            block_size=2048,
+                                            superbatch=4096))
+    for _ in range(40):
+        bad = bytearray(blob)
+        k = int(rng.integers(len(bad)))
+        bad[k] ^= int(rng.integers(1, 256))
+        try:
+            out = tpuzip.decompress_corpus(bytes(bad))
+            assert out == data  # mutation landed in dead padding
+        except (TpzError, ValueError, OverflowError, struct.error,
+                MemoryError):
+            pass

@@ -29,36 +29,44 @@ def _make_config(args):
 
 
 def _compress(args) -> int:
+    import contextlib
+
     from tpuzip.utils.metrics import RunMetrics
 
     data = open(args.infile, "rb").read()
     metrics = RunMetrics()
+    trace = contextlib.nullcontext()
+    if getattr(args, "trace", None):
+        import jax
+
+        trace = jax.profiler.trace(args.trace)  # TensorBoard/Perfetto dir
     t0 = time.perf_counter()
-    if args.format == "tpz":
-        from tpuzip.dist import runner
+    with trace:
+        if args.format == "tpz":
+            from tpuzip.dist import runner
 
-        if args.superbatch:
-            # pipelined corpus path: superbatches double-buffer so host
-            # stages overlap device stages (runner.compress_corpus)
-            out = runner.compress_corpus(
-                data, codec=args.codec, block_size=args.block_size,
-                superbatch=args.superbatch << 20,
-                config=_make_config(args))
+            if args.superbatch:
+                # pipelined corpus path: superbatches double-buffer so
+                # host stages overlap device stages (compress_corpus)
+                out = runner.compress_corpus(
+                    data, codec=args.codec, block_size=args.block_size,
+                    superbatch=args.superbatch << 20,
+                    config=_make_config(args))
+            else:
+                out = runner.compress(data, codec=args.codec,
+                                      block_size=args.block_size,
+                                      config=_make_config(args),
+                                      metrics=metrics)
+        elif args.format == "lz4f":
+            from tpuzip.codecs import lz4_frame
+
+            out = lz4_frame.compress_frame(data, block_max=1 << 16)
+        elif args.format == "zlib":
+            from tpuzip.codecs import zlib_ as jzlib
+
+            out = jzlib.compress(data)
         else:
-            out = runner.compress(data, codec=args.codec,
-                                  block_size=args.block_size,
-                                  config=_make_config(args),
-                                  metrics=metrics)
-    elif args.format == "lz4f":
-        from tpuzip.codecs import lz4_frame
-
-        out = lz4_frame.compress_frame(data, block_max=1 << 16)
-    elif args.format == "zlib":
-        from tpuzip.codecs import zlib_ as jzlib
-
-        out = jzlib.compress(data)
-    else:
-        raise SystemExit(f"unknown format {args.format}")
+            raise SystemExit(f"unknown format {args.format}")
     dt = time.perf_counter() - t0
     open(args.outfile, "wb").write(out)
     print(f"{len(data)} -> {len(out)} bytes "
@@ -142,6 +150,9 @@ def main(argv=None) -> int:
         sp.add_argument("-b", "--block-size", type=int, default=1 << 16)
         sp.add_argument("--metrics", action="store_true",
                         help="print per-phase metrics JSON to stdout")
+        sp.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the "
+                             "compress into DIR (TensorBoard/Perfetto)")
         sp.add_argument("--superbatch", type=int, default=0, metavar="MiB",
                         help="pipelined corpus mode: superbatch size in "
                              "MiB (0 = single container)")
