@@ -233,3 +233,22 @@ def test_rle_native_corruption_isolates():
         runner.decompress(bytes(bad), mesh=mesh)
     if isinstance(ei.value, CorruptStreamError):
         assert 0 not in ei.value.block_ids
+
+
+def test_lz4_wplan8_runner_path():
+    """Both planned-decode granularities round-trip through the public
+    runner (LZ4_DECODE_PLAN switch)."""
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    data = (b"wplan granularity corpus " * 900)
+    mesh = meshlib.make_mesh(8)
+    c = runner.compress(data, codec="lz4", block_size=8192, mesh=mesh)
+    old = runner.LZ4_DECODE_PLAN
+    try:
+        for plan in ("wplan", "wplan8"):
+            runner.LZ4_DECODE_PLAN = plan
+            assert runner.decompress(c, mesh=mesh) == data, plan
+    finally:
+        runner.LZ4_DECODE_PLAN = old

@@ -34,6 +34,9 @@ from tpuzip.runtime.errors import (BlockLengthError, ChecksumError,
                                    CorruptStreamError, HeaderError)
 
 MAGIC = b"TPZ1"
+# LZ4 planned-decode granularity: "wplan" (4 B/gather-row) or "wplan8"
+# (8 B/row — half the rows).  Runtime choice, not container format.
+LZ4_DECODE_PLAN = "wplan"
 
 
 def corpus_adler32(data: bytes) -> int:
@@ -876,10 +879,15 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 out = out_np
             elif planned:
                 # host-parse/device-copy-plan path: C++ token parse, bulk
-                # device gathers (VERDICT r1 item 3); word-granular plan
-                # halves the gather element count vs the byte plan
-                out, olens_dev, errs = jlz4.decode_batch_wplanned(
-                    comp, clens, block_size)
+                # device gathers (VERDICT r1 item 3).  LZ4_DECODE_PLAN
+                # picks the plan granularity: "wplan" = one gather row
+                # per 4 output bytes (measured default), "wplan8" = one
+                # per 8 (half the rows; flip the default if the on-chip
+                # A/B confirms the win)
+                fn = (jlz4.decode_batch_wplanned8
+                      if LZ4_DECODE_PLAN == "wplan8"
+                      else jlz4.decode_batch_wplanned)
+                out, olens_dev, errs = fn(comp, clens, block_size)
             else:
                 out, olens_dev, errs = jax.jit(
                     lambda c, l: _decode_batch(codec, c, l, block_size))(
