@@ -252,3 +252,22 @@ def test_lz4_wplan8_runner_path():
             assert runner.decompress(c, mesh=mesh) == data, plan
     finally:
         runner.LZ4_DECODE_PLAN = old
+
+
+def test_decompress_to_device():
+    """to_device=True returns device-resident blocks + lengths (the
+    decompress-into-device-memory path for TPU input pipelines)."""
+    import jax
+
+    mesh = meshlib.make_mesh(8)
+    data = (b"to-device decode corpus " * 700)
+    for codec in ("lz4", "ari", "rle"):
+        c = runner.compress(data, codec=codec, block_size=4096, mesh=mesh,
+                            block_checksums=True)
+        blocks, olens, orig = runner.decompress(c, mesh=mesh,
+                                                to_device=True)
+        assert isinstance(blocks, jax.Array)
+        assert orig == len(data)
+        got = b"".join(np.asarray(blocks)[i, : olens[i]].tobytes()
+                       for i in range(blocks.shape[0]))[:orig]
+        assert got == data, codec

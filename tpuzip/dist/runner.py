@@ -707,7 +707,16 @@ def _assemble_payload(mesh, comp, clens, clens_np: np.ndarray,
 
 
 def decompress(container: bytes, mesh: Mesh | None = None,
-               metrics=None) -> bytes:
+               metrics=None, to_device: bool = False):
+    """Decode a tpz container.
+
+    to_device=False (default): return the original bytes (host), with the
+    corpus Adler-32 verified.  to_device=True: return
+    ``(blocks (B, block_size) u8 jax.Array, olens (B,) np.int64,
+    orig_len)`` WITHOUT the device->host assembly — the decompress-into-
+    device-memory path for TPU input pipelines (per-block checksums are
+    still verified when the container carries them; the corpus checksum
+    needs the assembled bytes and is skipped)."""
     from tpuzip.utils.metrics import RunMetrics
 
     metrics = metrics if metrics is not None else RunMetrics()
@@ -797,6 +806,7 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     lsharding = meshlib.length_sharding(mesh)
     jc = jax.device_put(jnp.array(comp), sharding)
     jl = jax.device_put(jnp.array(clens.astype(np.int32)), lsharding)
+    out = None  # device-path branches set this; host paths set out_np only
     if codec == "bwt" and flags & 8:
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             out_np = _decode_bwt_segmented(comp, clens, olens, block_size,
@@ -911,6 +921,12 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         bad = np.nonzero(got_sums[:B] != block_sums)[0]
         if bad.size:
             raise CorruptStreamError(bad)
+    if to_device:
+        # device-path branches keep `out` resident on chip — return it
+        # without the download/upload round-trip; host-path branches
+        # (staged ari family, native rle/deflate) upload once here
+        src = out if isinstance(out, jax.Array) else out_np  # noqa: F821
+        return jnp.asarray(src)[:B, :block_size], olens[:B], orig_len
     with metrics.phase("verify", bytes_out=orig_len):
         data = b"".join(out_np[i, : olens[i]].tobytes() for i in range(B))
         data = data[:orig_len]
