@@ -271,3 +271,35 @@ def test_decompress_to_device():
         got = b"".join(np.asarray(blocks)[i, : olens[i]].tobytes()
                        for i in range(blocks.shape[0]))[:orig]
         assert got == data, codec
+
+
+def test_compress_from_device_roundtrip():
+    """Device-resident blocks -> standard tpz container (corpus Adler-32
+    combined from per-block device sums) -> decompress restores; also
+    round-trips to_device for the full on-chip loop."""
+    import jax
+    import jax.numpy as jnp
+
+    mesh = meshlib.make_mesh(8)
+    data = (b"from-device compress corpus " * 600)
+    n = 4096
+    B = (len(data) + n - 1) // n
+    rows = np.zeros((B, n), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        piece = data[i * n : (i + 1) * n]
+        lens[i] = len(piece)
+        rows[i, : len(piece)] = np.frombuffer(piece, np.uint8)
+    jb = jnp.array(rows)
+    for codec in ("lz4", "rle", "ari", "bwt"):
+        c = runner.compress_from_device(jb, lens, codec=codec, mesh=mesh,
+                                        block_checksums=True)
+        assert runner.decompress(c, mesh=mesh) == data, codec
+        blocks, olens, orig = runner.decompress(c, mesh=mesh,
+                                                to_device=True)
+        assert isinstance(blocks, jax.Array) and orig == len(data)
+    # ragged mid-batch lengths are rejected (container can't express them)
+    bad = lens.copy()
+    bad[0] = 17
+    with pytest.raises(ValueError):
+        runner.compress_from_device(jb, bad, codec="lz4", mesh=mesh)

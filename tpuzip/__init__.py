@@ -56,6 +56,15 @@ def decompress_corpus(blob: bytes, pipeline: int = 2) -> bytes:
     return runner.decompress_corpus(blob, pipeline=pipeline)
 
 
+def compress_from_device(blocks, lengths, codec: str = "lz4", **kw) -> bytes:
+    """Compress device-resident (B, n) u8 blocks into a tpz container —
+    data leaves the chip compressed, never raw.  The inbound half is
+    ``runner.decompress(..., to_device=True)``."""
+    from tpuzip.dist import runner
+
+    return runner.compress_from_device(blocks, lengths, codec=codec, **kw)
+
+
 def open(file, mode: str = "rb", format: str = "lz4f", **kw):  # noqa: A001
     """Streaming reader/writer over a binary file object (tpuzip.io)."""
     from tpuzip import io as tio

@@ -937,6 +937,94 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     return data
 
 
+def compress_from_device(blocks, lengths, codec: str = "lz4",
+                         mesh: Mesh | None = None,
+                         block_checksums: bool = False, config=None,
+                         metrics=None) -> bytes:
+    """Compress DEVICE-RESIDENT blocks into a standard tpz container — the
+    other half of the serving story (`decompress(to_device=True)` is the
+    inbound half): chip-resident data (activations, checkpoints, decoded
+    batches) leaves the chip as compressed payloads, never as raw bytes.
+
+    blocks: (B, n) u8 jax.Array; lengths: (B,) valid bytes per block —
+    every block except the last must be full (the container implies
+    per-block lengths from orig_len + block_size, exactly like
+    `compress`'s chunking).  Device encoders only; the corpus Adler-32 is
+    combined on the host from per-block device checksums
+    (oracle.adler.combine == zlib.adler32_combine)."""
+    from tpuzip.core.checksum import adler32_batch
+    from tpuzip.core.config import Config
+    from tpuzip.oracle import adler as oadler
+    from tpuzip.utils.metrics import RunMetrics
+
+    metrics = metrics if metrics is not None else RunMetrics()
+    config = config or Config()
+    mesh = mesh or meshlib.make_mesh()
+    blocks = jnp.asarray(blocks, jnp.uint8)
+    B, n = blocks.shape
+    lengths_np = np.asarray(jax.device_get(lengths)).astype(np.int64)
+    if (lengths_np[:-1] != n).any() or not 0 <= lengths_np[-1] <= n:
+        raise ValueError(
+            "compress_from_device requires full blocks except the last "
+            "(the container implies block lengths from orig_len)")
+    orig_len = int(lengths_np.sum())
+    inc, thr = config.codec.ari.increment, config.codec.ari.threshold
+
+    ndp = mesh.shape["dp"]
+    Bp = blk.pad_to_multiple(B, ndp)
+    if Bp != B:
+        blocks = jnp.pad(blocks, ((0, Bp - B), (0, 0)))
+        lengths_np = np.concatenate([lengths_np, np.zeros(Bp - B, np.int64)])
+    jb = jax.device_put(blocks, meshlib.block_sharding(mesh))
+    jl = jax.device_put(jnp.asarray(lengths_np, jnp.int32),
+                        meshlib.length_sharding(mesh))
+
+    # per-block checksums on device; corpus checksum by combination
+    with metrics.phase("checksum", bytes_in=orig_len):
+        bsums = np.asarray(jax.jit(adler32_batch)(jb, jl))
+        a32 = 1
+        for i in range(B):
+            a32 = oadler.combine(a32, int(bsums[i]), int(lengths_np[i]))
+
+    flags = 1 if block_checksums else 0
+    if (inc, thr) != (8, 1 << 13):
+        flags |= 4
+    if codec in ("ari", "bwt", "bwtdc"):
+        with metrics.phase("encode", bytes_in=orig_len, blocks=B):
+            blobs = _encode_ari_family(codec, jb, jl, lengths_np,
+                                       increment=inc, threshold=thr)
+        clens_np = np.array([len(p) for p in blobs], np.int64)
+        payload = b"".join(blobs)
+        flags |= 2
+        if codec == "bwt" and n > SEG_THRESHOLD:
+            flags |= 8
+    else:
+        if codec == "lz4p":
+            _init_lz4p()
+        enc, _cap = _ENCODERS[codec]
+        with metrics.phase("encode", bytes_in=orig_len, blocks=B):
+            if codec == "deflate":  # device stages + host table build
+                comp, clens = enc(jb, jl)
+            else:
+                comp, clens = jax.jit(enc)(jb, jl)
+            clens_np = np.asarray(clens).astype(np.int64)
+        with metrics.phase("assemble"):
+            payload = _assemble_payload(mesh, comp, clens, clens_np, B)
+
+    hdr = bytearray(MAGIC)
+    hdr.append(CODECS[codec])
+    hdr.append(flags)
+    hdr += struct.pack("<IIQI", n, B, orig_len, a32)
+    for i in range(B):
+        hdr += struct.pack("<I", int(clens_np[i]))
+    if block_checksums:
+        for i in range(B):
+            hdr += struct.pack("<I", int(bsums[i]))
+    if flags & 4:
+        hdr += struct.pack("<HI", inc, thr)
+    return bytes(hdr) + payload
+
+
 # ---------------------------------------------------------------------------
 # Pipelined corpus API: superbatch double-buffering
 # ---------------------------------------------------------------------------

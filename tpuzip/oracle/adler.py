@@ -45,3 +45,15 @@ def adler32(data: bytes, start: int = 1) -> int:
     st.s2 = (start >> 16) & 0xFFFF
     st.feed(data)
     return st.result()
+
+
+def combine(a1: int, a2: int, len2: int) -> int:
+    """Adler-32 of the concatenation from the two parts' checksums
+    (zlib's adler32_combine): the second part's s1/s2 advance the first
+    by len2 bytes of known running sums."""
+    rem = len2 % MOD
+    s1_1, s2_1 = a1 & 0xFFFF, (a1 >> 16) & 0xFFFF
+    s1_2, s2_2 = a2 & 0xFFFF, (a2 >> 16) & 0xFFFF
+    s1 = (s1_1 + s1_2 + MOD - 1) % MOD
+    s2 = (s2_1 + s2_2 + rem * (s1_1 + MOD - 1)) % MOD
+    return (s2 << 16) | s1
