@@ -962,6 +962,8 @@ def compress_from_device(blocks, lengths, codec: str = "lz4",
     mesh = mesh or meshlib.make_mesh()
     blocks = jnp.asarray(blocks, jnp.uint8)
     B, n = blocks.shape
+    if B == 0:
+        raise ValueError("compress_from_device needs at least one block")
     lengths_np = np.asarray(jax.device_get(lengths)).astype(np.int64)
     if (lengths_np[:-1] != n).any() or not 0 <= lengths_np[-1] <= n:
         raise ValueError(
@@ -970,11 +972,14 @@ def compress_from_device(blocks, lengths, codec: str = "lz4",
     orig_len = int(lengths_np.sum())
     inc, thr = config.codec.ari.increment, config.codec.ari.threshold
 
+    # B below is the PADDED count, matching compress()'s container
+    # convention (padding blocks are zero-length: empty payload, olens 0)
     ndp = mesh.shape["dp"]
     Bp = blk.pad_to_multiple(B, ndp)
     if Bp != B:
         blocks = jnp.pad(blocks, ((0, Bp - B), (0, 0)))
         lengths_np = np.concatenate([lengths_np, np.zeros(Bp - B, np.int64)])
+        B = Bp
     jb = jax.device_put(blocks, meshlib.block_sharding(mesh))
     jl = jax.device_put(jnp.asarray(lengths_np, jnp.int32),
                         meshlib.length_sharding(mesh))
