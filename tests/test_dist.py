@@ -303,3 +303,14 @@ def test_compress_from_device_roundtrip():
     bad[0] = 17
     with pytest.raises(ValueError):
         runner.compress_from_device(jb, bad, codec="lz4", mesh=mesh)
+
+
+def test_trailing_payload_bytes_rejected():
+    """Payload bytes past the length table are an integrity error."""
+    from tpuzip.runtime.errors import BlockLengthError
+
+    mesh = meshlib.make_mesh(8)
+    data = b"strict container " * 300
+    c = runner.compress(data, codec="rle", block_size=2048, mesh=mesh)
+    with pytest.raises(BlockLengthError):
+        runner.decompress(c + b"JUNK", mesh=mesh)

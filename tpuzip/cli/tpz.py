@@ -125,9 +125,20 @@ def _roundtrip(args) -> int:
 def _info(args) -> int:
     import struct
 
-    from tpuzip.dist.runner import CODEC_IDS, MAGIC
+    from tpuzip.dist.runner import CODEC_IDS, MAGIC, MAGIC_CORPUS
 
     data = open(args.infile, "rb").read()
+    if data[:4] == MAGIC_CORPUS:
+        (count,) = struct.unpack_from("<I", data, 4)
+        pos, sizes = 8, []
+        for _ in range(count):
+            (ln,) = struct.unpack_from("<Q", data, pos)
+            sizes.append(ln)
+            pos += 8 + ln
+        print(f"tpz corpus container: {count} superbatches, "
+              f"{len(data)} bytes (payloads {sizes[:8]}"
+              f"{'...' if count > 8 else ''})")
+        return 0
     if data[:4] != MAGIC:
         print("not a tpz container", file=sys.stderr)
         return 1

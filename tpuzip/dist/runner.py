@@ -790,8 +790,10 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         cap = jlz4p.encode_cap(block_size)
     else:
         cap = jlz4.encode_cap(block_size)
-    if off + int(clens.sum()) > len(container):
+    if off + int(clens.sum()) != len(container):
         raise BlockLengthError(
+            "container payload length disagrees with the length table"
+            if off + int(clens.sum()) < len(container) else
             "container truncated: payload shorter than length table claims")
     if (clens > cap).any():
         raise BlockLengthError("declared block length exceeds codec bound")
