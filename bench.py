@@ -96,9 +96,20 @@ def main() -> None:
             "metric": "ari_encode+decode_throughput", "value": 0.0,
             "unit": "GB/s/chip", "vs_baseline": 0.0,
             "detail": {**detail,
-                       "error": "no TPU visible — kernels not run; see "
-                                "bench/RESULTS.md for the last real-chip "
-                                "numbers (0.2795 GB/s/chip)"}}))
+                       "error": "no TPU visible — kernels not run (the "
+                                "axon relay died mid-round 2026-08-18)",
+                       "last_real_chip_run": {
+                           "when": "2026-08-17 22:18 (this round)",
+                           "value_GBps_chip": 0.2795,
+                           "vs_baseline": 10.0,
+                           "ari": {"encode_MBps": 284.9,
+                                   "decode_MBps": 274.3},
+                           "mtf_kernel_MBps": 958.7,
+                           "lz4": {"encode_MBps": 771.1,
+                                   "decode_MBps": 161.6},
+                           "bwt": {"forward_MBps": 39.4,
+                                   "inverse_MBps": 371.9},
+                           "log": "bench/RESULTS.md"}}}))
         return
 
     # ---------------------------------------------------- ari (headline)
