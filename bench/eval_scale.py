@@ -99,6 +99,28 @@ def run_codec(codec: str, corpus: bytes, super_mb: int, block_size: int):
             "dec_MBps_device": round(mb / max(dec_dev, 1e-9), 2)}
 
 
+def run_codec_pipelined(codec: str, corpus: bytes, super_mb: int,
+                        block_size: int):
+    """Wall-clock row through the pipelined corpus API (superbatch
+    double-buffering overlaps host and device stages)."""
+    from tpuzip.dist import runner
+
+    t0 = time.perf_counter()
+    blob = runner.compress_corpus(corpus, codec=codec,
+                                  block_size=block_size,
+                                  superbatch=super_mb << 20)
+    enc_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = runner.decompress_corpus(blob)
+    dec_wall = time.perf_counter() - t0
+    mb = len(corpus) / 1e6
+    return {"codec": codec, "MB": round(len(corpus) / 2**20, 1),
+            "pipelined": True, "ok": out == corpus,
+            "ratio": round(len(blob) / max(len(corpus), 1), 4),
+            "enc_MBps_wall": round(mb / enc_wall, 2),
+            "dec_MBps_wall": round(mb / dec_wall, 2)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=104)
@@ -108,10 +130,17 @@ def main():
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--deflate-mb", type=int, default=16,
                     help="cap deflate corpus (symbol loops are slow)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="route through compress_corpus (double-buffered "
+                         "superbatches) instead of the serial loop")
     args = ap.parse_args()
 
     import jax
 
+    from bench import _axon_tunnel_down
+
+    if _axon_tunnel_down():  # dead relay would hang backend init
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -126,7 +155,10 @@ def main():
         # B=128 would pay a fresh multi-10-minute remote compile
         smb = 2 if codec == "lz4" else args.super_mb
         t0 = time.perf_counter()
-        row = run_codec(codec, piece, smb, args.block_size)
+        if args.pipelined:
+            row = run_codec_pipelined(codec, piece, smb, args.block_size)
+        else:
+            row = run_codec(codec, piece, smb, args.block_size)
         row["total_s"] = round(time.perf_counter() - t0, 1)
         print(json.dumps(row), flush=True)
 
