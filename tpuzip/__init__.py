@@ -33,6 +33,8 @@ def compress(data: bytes, codec: str = "lz4", block_size: int = 1 << 16):
 def decompress(container: bytes) -> bytes:
     from tpuzip.dist import runner
 
+    if container[:4] == runner.MAGIC_CORPUS:
+        return runner.decompress_corpus(container)
     return runner.decompress(container)
 
 
