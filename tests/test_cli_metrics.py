@@ -74,3 +74,16 @@ def test_cli_trace_flag(tmp_path):
     # profiler writes a plugins/profile/<ts>/ tree
     found = [p for p, _, fs in os.walk(tdir) for f in fs]
     assert found, "trace directory is empty"
+
+
+def test_cli_info_corpus(tmp_path, capsys):
+    from tpuzip.cli import tpz
+
+    src = tmp_path / "in.bin"
+    comp = tmp_path / "out.tpzc"
+    src.write_bytes(b"corpus info " * 2000)
+    assert tpz.main(["compress", "-c", "rle", "--superbatch", "1",
+                     str(src), str(comp)]) == 0
+    assert tpz.main(["info", str(comp)]) == 0
+    out = capsys.readouterr().out
+    assert "tpz corpus container" in out and "superbatches" in out
