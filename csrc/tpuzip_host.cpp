@@ -1261,14 +1261,13 @@ void sais_core(const int32_t* s, int32_t* SA, int64_t n, int32_t K) {
   auto is_lms = [&](int64_t i) {
     return i > 0 && t[(size_t)i] && !t[(size_t)i - 1];
   };
-  std::vector<int32_t> bkt((size_t)K);
+  std::vector<int32_t> bkt((size_t)K), cnt((size_t)K, 0);
+  for (int64_t i = 0; i < n; ++i) cnt[s[i]]++;  // count once per level
   auto buckets = [&](bool end) {
-    std::fill(bkt.begin(), bkt.end(), 0);
-    for (int64_t i = 0; i < n; ++i) bkt[s[i]]++;
     int32_t sum = 0;
     for (int32_t k = 0; k < K; ++k) {
-      sum += bkt[k];
-      bkt[k] = end ? sum : sum - bkt[k];
+      sum += cnt[k];
+      bkt[k] = end ? sum : sum - cnt[k];
     }
   };
   auto induce = [&]() {
