@@ -245,11 +245,9 @@ int64_t tpz_lz4_compress_chained(const uint8_t* src, int64_t n, uint8_t* dst,
     }
     dst[o++] = (uint8_t)rem;
   };
-  int64_t anchor = 0, i = 0, o = 0;
-  int64_t limit = n - MFLIMIT > 0 ? n - MFLIMIT : 0;
-  int64_t lim = n - LASTLIT;
-  while (i < limit) {
-    int64_t best = 0, bestpos = -1;
+  auto find_best = [&](int64_t i, int64_t lim, int64_t& bestpos) {
+    int64_t best = 0;
+    bestpos = -1;
     if (i + 3 < n) {
       int32_t c = head[hash4(i)];
       int chain = max_chain;
@@ -266,24 +264,53 @@ int64_t tpz_lz4_compress_chained(const uint8_t* src, int64_t n, uint8_t* dst,
         c = prevc[(size_t)c];
       }
     }
-    if (best >= 4 && bestpos >= 0) {
-      int64_t lit = i - anchor, ml = best - 4;
-      if (o + lit + 16 + lit / 255 + ml / 255 + 1 > cap) return -1;
-      dst[o++] = (uint8_t)(((lit < 15 ? lit : 15) << 4) |
-                           (ml < 15 ? ml : 15));
-      if (lit >= 15) emit_len(lit, o);
-      memcpy(dst + o, src + anchor, (size_t)lit);
-      o += lit;
-      uint16_t off = (uint16_t)(i - bestpos);
-      memcpy(dst + o, &off, 2);
-      o += 2;
-      if (ml >= 15) emit_len(ml, o);
-      for (int64_t e = i + best; i < e; ++i) insert(i);
-      anchor = i;
-    } else {
+    return best;
+  };
+  int64_t anchor = 0, i = 0, o = 0;
+  int64_t limit = n - MFLIMIT > 0 ? n - MFLIMIT : 0;
+  int64_t lim = n - LASTLIT;
+  while (i < limit) {
+    int64_t bestpos;
+    int64_t best = find_best(i, lim, bestpos);
+    if (best < 4) {
       insert(i);
       ++i;
+      continue;
     }
+    // one-step lazy evaluation: defer when the next position holds a
+    // strictly longer match (the deferred byte rides as a literal).
+    // Each position is inserted exactly once — a double insert would
+    // self-loop the chain and fabricate offset-0 matches.
+    bool cur_inserted = false;
+    while (i + 1 < limit) {
+      insert(i);  // i becomes a distance-1 candidate for i+1 (runs)
+      cur_inserted = true;
+      int64_t bp2;
+      int64_t b2 = find_best(i + 1, lim, bp2);
+      if (b2 > best) {
+        ++i;
+        cur_inserted = false;
+        best = b2;
+        bestpos = bp2;
+      } else {
+        break;
+      }
+    }
+    int64_t lit = i - anchor, ml = best - 4;
+    if (o + lit + 16 + lit / 255 + ml / 255 + 1 > cap) return -1;
+    dst[o++] = (uint8_t)(((lit < 15 ? lit : 15) << 4) |
+                         (ml < 15 ? ml : 15));
+    if (lit >= 15) emit_len(lit, o);
+    memcpy(dst + o, src + anchor, (size_t)lit);
+    o += lit;
+    uint16_t off = (uint16_t)(i - bestpos);
+    memcpy(dst + o, &off, 2);
+    o += 2;
+    if (ml >= 15) emit_len(ml, o);
+    if (!cur_inserted) insert(i);
+    for (int64_t e = i + best, k = i + 1; k < e; ++k) insert(k);
+    i += best;
+    anchor = i;
   }
   int64_t lit = n - anchor;
   if (o + lit + 1 + lit / 255 + 1 > cap) return -1;
