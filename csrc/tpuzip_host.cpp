@@ -851,10 +851,9 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
       head[h] = (int32_t)i;
     }
   };
-  int64_t i = 0;
-  while (i < n) {
+  auto best_at = [&](int64_t i, int64_t& bestd) {
     int best = 0;
-    int64_t bestd = 0;
+    bestd = 0;
     if (i + MINM <= n && i + 2 < n) {
       int32_t c = head[hash3(i)];
       int chain = max_chain;
@@ -870,11 +869,40 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
         c = prevc[c];
       }
     }
+    return best;
+  };
+  int64_t i = 0;
+  while (i < n) {
+    int64_t bestd;
+    int best = best_at(i, bestd);
     if (best >= MINM) {
+      // one-step lazy evaluation (zlib levels >= 6 do the same): defer
+      // when the next position matches strictly longer; each position
+      // inserts into the chain exactly once
+      bool cur_inserted = false;
+      while (i + 1 + MINM <= n) {
+        insert(i);
+        cur_inserted = true;
+        int64_t bd2;
+        int b2 = best_at(i + 1, bd2);
+        if (b2 > best) {
+          lit.push_back(src[i]);
+          mlens.push_back(0);
+          mdists.push_back(0);
+          ++i;
+          cur_inserted = false;
+          best = b2;
+          bestd = bd2;
+        } else {
+          break;
+        }
+      }
       lit.push_back(-1);
       mlens.push_back(best);
       mdists.push_back((int32_t)bestd);
-      for (int64_t e = i + best; i < e; ++i) insert(i);
+      if (!cur_inserted) insert(i);
+      for (int64_t e = i + best, k = i + 1; k < e; ++k) insert(k);
+      i += best;
     } else {
       lit.push_back(src[i]);
       mlens.push_back(0);
