@@ -1,7 +1,8 @@
 """Worker process for the real multi-process multihost test.
 
 Launched by tests/test_multihost_mp.py via subprocess with argv:
-    coordinator_address num_processes process_id num_local_devices out_path
+    coordinator_address num_processes process_id num_local_devices
+    nblocks out_path [codec] [block_checksums] [ari_increment ari_threshold]
 
 Each worker joins the jax.distributed job on CPU, compresses the shared
 deterministic corpus through tpuzip.dist.multihost.compress_corpus_multihost,
@@ -15,6 +16,11 @@ import sys
 
 def main() -> None:
     coord, nproc, pid, ndev, nblocks, out_path = sys.argv[1:7]
+    codec = sys.argv[7] if len(sys.argv) > 7 else "rle"
+    block_checksums = len(sys.argv) > 8 and sys.argv[8] == "1"
+    inc_thr = None
+    if len(sys.argv) > 10:
+        inc_thr = (int(sys.argv[9]), int(sys.argv[10]))
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={ndev}"
@@ -28,12 +34,20 @@ def main() -> None:
     multihost.initialize(coord, int(nproc), int(pid))
     assert jax.process_count() == int(nproc)
 
+    config = None
+    if inc_thr is not None:
+        from tpuzip.core.config import Config
+
+        config = Config()
+        config.codec.ari.increment, config.codec.ari.threshold = inc_thr
+
     # nblocks chosen by the test so host ranges are NOT multiples of the
     # local device count, exercising the padding-block truncation and the
     # ragged-count gather in compress_corpus_multihost.
     data = bytes((i * 31 + 7) % 256 for i in range(int(nblocks) * 1000))
     container = multihost.compress_corpus_multihost(
-        data, codec="rle", block_size=1000)
+        data, codec=codec, block_size=1000,
+        block_checksums=block_checksums, config=config)
     with open(out_path, "wb") as f:
         f.write(container)
 

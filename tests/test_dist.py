@@ -134,6 +134,29 @@ def test_multihost_single_process_paths():
     assert runner.decompress(container) == data
 
 
+def test_multihost_flags_propagation_single_process():
+    """VERDICT r2 repro: merged ari/bwt/bwtdc containers must carry the
+    staged-payload flag bits and the knob trailer, or they decode to
+    garbage.  The single-process path goes through the same header
+    strip/rebuild as the multi-process one."""
+    from tpuzip.core.config import Config
+    from tpuzip.dist import multihost
+
+    data = bytes((i * 31 + 7) % 256 for i in range(9000))
+    for codec in ("ari", "bwt", "bwtdc"):
+        container = multihost.compress_corpus_multihost(
+            data, codec=codec, block_size=1000)
+        assert container[5] & 2, codec
+        assert runner.decompress(container) == data
+
+    cfg = Config()
+    cfg.codec.ari.increment, cfg.codec.ari.threshold = 16, 1 << 12
+    container = multihost.compress_corpus_multihost(
+        data, codec="ari", block_size=1000, block_checksums=True, config=cfg)
+    assert container[5] & 7 == 7
+    assert runner.decompress(container) == data
+
+
 def test_lz4_frame_device_backed(samples):
     from tpuzip.codecs import lz4_frame
     from tpuzip.oracle import lz4 as olz4

@@ -28,8 +28,8 @@ def _corpus(nblocks: int) -> bytes:
     return bytes((i * 31 + 7) % 256 for i in range(nblocks * 1000))
 
 
-def _run_job(nproc: int, local_devs: int, nblocks: int, tmp_path
-             ) -> list[bytes]:
+def _run_job(nproc: int, local_devs: int, nblocks: int, tmp_path,
+             extra: list[str] | None = None) -> list[bytes]:
     coord = f"127.0.0.1:{_free_port()}"
     outs = [str(tmp_path / f"container_{p}.tpz") for p in range(nproc)]
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
@@ -38,7 +38,7 @@ def _run_job(nproc: int, local_devs: int, nblocks: int, tmp_path
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, coord, str(nproc), str(p),
-             str(local_devs), str(nblocks), outs[p]],
+             str(local_devs), str(nblocks), outs[p]] + (extra or []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for p in range(nproc)
     ]
@@ -79,3 +79,31 @@ def test_three_process_ragged_tail(tmp_path):
     from tpuzip.dist import runner
 
     assert runner.decompress(containers[0]) == _corpus(10)
+
+
+@pytest.mark.parametrize(
+    "codec", ["lz4", "ari", "bwt", "bwtdc", "deflate", "lz4p"])
+def test_two_process_every_codec(codec, tmp_path):
+    # VERDICT r2 item 1: the merged header must propagate the staged-payload
+    # flag bits (2/8) and decode cleanly for the ari family, not just rle.
+    containers = _run_job(2, 2, 9, tmp_path, extra=[codec])
+    assert containers[0] == containers[1]
+
+    from tpuzip.dist import runner
+
+    if codec in ("ari", "bwt", "bwtdc"):
+        assert containers[0][5] & 2, "staged flag bit must survive the merge"
+    assert runner.decompress(containers[0]) == _corpus(9)
+
+
+def test_two_process_ari_knobs_and_checksums(tmp_path):
+    # non-default ari increment/threshold (flag bit 4 trailer) + per-block
+    # checksum table (flag bit 1) through the multi-process merge.
+    containers = _run_job(2, 2, 9, tmp_path,
+                          extra=["ari", "1", "16", str(1 << 12)])
+    assert containers[0] == containers[1]
+    assert containers[0][5] & 7 == 7  # checksums + staged + knob trailer
+
+    from tpuzip.dist import runner
+
+    assert runner.decompress(containers[0]) == _corpus(9)

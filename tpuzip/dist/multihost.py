@@ -51,6 +51,27 @@ def host_block_range(num_blocks: int) -> tuple[int, int]:
     return start, min(start + per, num_blocks)
 
 
+def allgather_ragged_rows(local_vals: np.ndarray) -> np.ndarray:
+    """Ordered gather of ragged per-host 1-D arrays over DCN.
+
+    Every host contributes a (possibly different-length) array; the result
+    is the process-order concatenation, identical on every host.  Shapes
+    are padded to the max host count first — `process_allgather` needs
+    equal shapes across hosts."""
+    local_vals = np.asarray(local_vals)
+    if jax.process_count() == 1:
+        return local_vals
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(np.int64(local_vals.size))
+    max_count = max(int(counts.max()), 1)
+    pad = np.zeros(max_count, local_vals.dtype)
+    pad[: local_vals.size] = local_vals
+    vals_all = multihost_utils.process_allgather(pad)
+    return np.concatenate(
+        [vals_all[p, : int(counts[p])] for p in range(jax.process_count())])
+
+
 def gather_ragged_payloads(local_payload: bytes,
                            local_sizes: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Ordered gather of per-host compressed byte blobs over DCN.
@@ -60,36 +81,28 @@ def gather_ragged_payloads(local_payload: bytes,
     identity.  Per-host block counts may be ragged; local device counts must
     be homogeneous across hosts (a jax `process_allgather` requirement,
     matching real TPU pods)."""
+    local_sizes = np.asarray(local_sizes, np.int64)
     if jax.process_count() == 1:
         return local_payload, local_sizes
-    from jax.experimental import multihost_utils
-
-    local_sizes = np.asarray(local_sizes, np.int64)
-    # counts first (hosts own ragged block ranges), then padded size tables,
-    # then padded payload blobs — process_allgather needs equal shapes.
-    counts = multihost_utils.process_allgather(np.int64(local_sizes.size))
-    max_count = int(counts.max())
-    sizes_pad = np.zeros(max_count, np.int64)
-    sizes_pad[: local_sizes.size] = local_sizes
-    sizes_all = multihost_utils.process_allgather(sizes_pad)
-    blob_len = np.int64(len(local_payload))
-    lens_all = multihost_utils.process_allgather(blob_len)
-    max_len = max(int(lens_all.max()), 1)
-    padded = np.zeros(max_len, np.uint8)
-    padded[: len(local_payload)] = np.frombuffer(local_payload, np.uint8)
-    blobs = multihost_utils.process_allgather(padded)
-    nproc = jax.process_count()
-    out = b"".join(
-        blobs[p, : int(lens_all[p])].tobytes() for p in range(nproc))
-    sizes = np.concatenate(
-        [sizes_all[p, : int(counts[p])] for p in range(nproc)])
-    return out, sizes
+    sizes = allgather_ragged_rows(local_sizes)
+    blob = allgather_ragged_rows(
+        np.frombuffer(local_payload, np.uint8)).tobytes()
+    return blob, sizes
 
 
 def compress_corpus_multihost(data: bytes, codec: str = "lz4",
-                              block_size: int = 1 << 16) -> bytes:
+                              block_size: int = 1 << 16,
+                              block_checksums: bool = False,
+                              config=None) -> bytes:
     """Each host encodes its block range; host 0's view of the gathered
-    container is returned (identical on every host)."""
+    container is returned (identical on every host).
+
+    The merged container is indistinguishable from a single-host
+    ``runner.compress`` container: the local containers' flags byte (staged
+    payload bit 2, segmented-bwt bit 8), the per-block checksum table
+    (bit 1) and the ari knob trailer (bit 4) are all propagated — every
+    host runs the identical codec/config, which is asserted via an
+    allgather of the flags bytes."""
     import struct
 
     from tpuzip.core import blocks as blk
@@ -106,13 +119,40 @@ def compress_corpus_multihost(data: bytes, codec: str = "lz4",
     local_mesh = meshlib.make_mesh(len(local_devices), devices=local_devices)
     local_data = blk.unchunk(blocks[lo:hi], lengths[lo:hi])
     local_container = runner.compress(local_data, codec=codec,
-                                      block_size=block_size, mesh=local_mesh)
-    # strip local header, keep payload + sizes
-    # header = 4 magic + 1 codec + 1 flags + IIQI(20) = 26 bytes
+                                      block_size=block_size, mesh=local_mesh,
+                                      block_checksums=block_checksums,
+                                      config=config)
+    # parse the local header: 4 magic + 1 codec + 1 flags + IIQI(20) = 26
+    # bytes, then the u32 length table, then (flags&1) the u32 checksum
+    # table, then (flags&4) the 6-byte <HI> ari inc/thr trailer, then the
+    # payload.  runner.compress wrote it, so no validation needed here.
+    flags = local_container[5]
     (_, local_b) = struct.unpack_from("<II", local_container, 6)
     off = 26 + 4 * local_b
     local_sizes = np.frombuffer(
         local_container, np.uint32, local_b, 26).astype(np.int64)
+    local_bsums = np.zeros(0, np.uint32)
+    if flags & 1:
+        local_bsums = np.frombuffer(local_container, np.uint32, local_b, off)
+        off += 4 * local_b
+    trailer = b""
+    if flags & 4:
+        trailer = bytes(local_container[off : off + 6])
+        off += 6
+    # every host must have produced the same flags/trailer (identical
+    # codec + config everywhere) or the merged header would lie about some
+    # hosts' payload format — fail loudly rather than corrupt.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        marks = multihost_utils.process_allgather(
+            np.frombuffer(bytes([flags]) + trailer.ljust(6, b"\0"),
+                          np.uint8))
+        if not (marks == marks[0]).all():
+            raise ValueError(
+                "compress_corpus_multihost: hosts produced differing "
+                "container flags/params — codec config must be identical "
+                f"on every host (got {marks.tolist()})")
     # the local runner pads its block range to the local device count;
     # padding blocks (and their payload bytes) must NOT leak into the merged
     # stream — keep only the hi-lo real blocks (padding sits at the tail).
@@ -121,11 +161,17 @@ def compress_corpus_multihost(data: bytes, codec: str = "lz4",
     payload_len = int(local_sizes.sum())
     payload, sizes = gather_ragged_payloads(
         local_container[off : off + payload_len], local_sizes)
+    if flags & 1:
+        bsums = allgather_ragged_rows(local_bsums[:real])
     hdr = bytearray(runner.MAGIC)
     hdr.append(runner.CODECS[codec])
-    hdr.append(0)
+    hdr.append(flags)
     hdr += struct.pack("<IIQI", block_size, len(sizes), len(data),
                        runner.corpus_adler32(data))
     for s in sizes:
         hdr += struct.pack("<I", int(s))
+    if flags & 1:
+        for s in bsums:
+            hdr += struct.pack("<I", int(s))
+    hdr += trailer
     return bytes(hdr) + payload
