@@ -762,7 +762,9 @@ struct BitWr {
     }
   }
   void flush() {
-    if (cnt && pos < cap) { p[pos++] = (uint8_t)buf; buf = 0; cnt = 0; }
+    if (!cnt) return;
+    if (pos >= cap) { ok = false; cnt = 0; return; }
+    p[pos++] = (uint8_t)buf; buf = 0; cnt = 0;
   }
 };
 

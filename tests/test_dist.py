@@ -337,3 +337,50 @@ def test_trailing_payload_bytes_rejected():
     c = runner.compress(data, codec="rle", block_size=2048, mesh=mesh)
     with pytest.raises(BlockLengthError):
         runner.decompress(c + b"JUNK", mesh=mesh)
+
+
+def test_crafted_corrupt_staged_headers_raise_typed_errors():
+    """ADVICE r2: crafted flag-2 payload headers (oversized bwtdc dlens,
+    escape-coded chunk deltas past 4*CHUNK_STEPS+4, truncated escapes) must
+    surface as CorruptStreamError naming the block, not numpy shape errors."""
+    import struct
+
+    from tpuzip.runtime.errors import CorruptStreamError
+
+    mesh = meshlib.make_mesh(8)
+    data = (b"crafted corruption, staged family " * 300)
+    c = runner.compress(data, codec="bwtdc", block_size=2048, mesh=mesh)
+    (_, B) = struct.unpack_from("<II", c, 6)
+    payload_off = 26 + 4 * B
+    # bwtdc block 0 payload = [u32 origin][u32 dlen][u32 idx_len][idx][ari]
+    bad = bytearray(c)
+    struct.pack_into("<I", bad, payload_off + 4, 0x7FFFFFFF)
+    with pytest.raises(CorruptStreamError) as ei:
+        runner.decompress(bytes(bad), mesh=mesh)
+    assert ei.value.block_ids == [0]
+
+    c = runner.compress(data, codec="ari", block_size=2048, mesh=mesh)
+    (_, B) = struct.unpack_from("<II", c, 6)
+    payload_off = 26 + 4 * B
+    sizes = np.frombuffer(c, np.uint32, B, 26)
+    # ari block 1 payload = [u32 idx_len][chunk index][ari stream]:
+    # rewrite its first chunk-index byte into a truncated 255-escape
+    boff = payload_off + int(sizes[0])
+    bad = bytearray(c)
+    bad[boff + 4] = 255
+    with pytest.raises((CorruptStreamError, Exception)) as ei:
+        runner.decompress(bytes(bad), mesh=mesh)
+    assert not isinstance(ei.value, IndexError)
+    if isinstance(ei.value, CorruptStreamError):
+        assert 0 not in ei.value.block_ids
+
+
+def test_parse_chunk_index_rejects_oversized_and_truncated_escapes():
+    from tpuzip.kernels import range_decoder as rdk
+
+    good = rdk.pack_chunk_index(np.array([3, 255, 260], np.int64))
+    assert rdk.parse_chunk_index(good, 3).tolist() == [3, 255, 260]
+    with pytest.raises(ValueError):
+        rdk.parse_chunk_index(bytes([255, 0xD0, 0x07]), 1)  # delta 2000
+    with pytest.raises(ValueError):
+        rdk.parse_chunk_index(bytes([255, 0x10]), 1)  # escape cut short

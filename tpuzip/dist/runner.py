@@ -306,6 +306,8 @@ def _decode_bwt_segmented(comp: np.ndarray, clens: np.ndarray,
             k = i * nseg + s
             sl, idxlen = struct.unpack_from("<II", blob, pos)
             pos += 8
+            if sl > seg:
+                raise CorruptStreamError([i])
             nci = (int(sl) + cs - 1) // cs
             try:
                 deltas[k, :nci] = rdk.parse_chunk_index(
@@ -314,9 +316,14 @@ def _decode_bwt_segmented(comp: np.ndarray, clens: np.ndarray,
                 raise CorruptStreamError([i]) from e
             pos += idxlen
             # stream length = 4 initial code bytes + total renorm pulls
-            # (empty segments still carry the 4 finish bytes)
+            # (empty segments still carry the 4 finish bytes); corrupt
+            # deltas can push slen past the stream cap or the blob end —
+            # both must surface as CorruptStreamError, not shape errors
             slen = int(deltas[k].sum()) + 4
-            streams[k, :slen] = np.frombuffer(blob, np.uint8, slen, pos)
+            try:
+                streams[k, :slen] = np.frombuffer(blob, np.uint8, slen, pos)
+            except ValueError as e:
+                raise CorruptStreamError([i]) from e
             pos += slen
             seg_lens[k] = sl
         if pos != len(blob):
@@ -416,10 +423,13 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
         if clens[i] < head + 4:
             raise BlockLengthError(f"{codec} block {i} shorter than header")
         if codec == "bwt":
-            (origins[i],) = struct.unpack_from("<I", comp[i].tobytes(), 0)
+            (origins[i],) = struct.unpack_from(
+                "<I", comp[i, :head].tobytes(), 0)
         elif codec == "bwtdc":
             origins[i], dlens[i] = struct.unpack_from(
-                "<II", comp[i].tobytes(), 0)
+                "<II", comp[i, :head].tobytes(), 0)
+            if dlens[i] > jdc.encode_cap(block_size):
+                raise CorruptStreamError([i])
     if codec == "bwtdc":
         sym_lens = dlens
         width = _pow2_bucket(int(dlens.max(initial=1)), 256,
@@ -489,7 +499,10 @@ def _ari_decode_indexed(comp: np.ndarray, clens: np.ndarray,
         except ValueError as e:
             raise CorruptStreamError([i]) from e
         slen = int(clens[i]) - 4 - idxlen
-        streams[i, :slen] = comp[i, 4 + idxlen : int(clens[i])]
+        try:
+            streams[i, :slen] = comp[i, 4 + idxlen : int(clens[i])]
+        except ValueError as e:  # corrupt sizes past the stream cap
+            raise CorruptStreamError([i]) from e
     if jax.devices()[0].platform == "tpu":
         from tpuzip.kernels.range_coder import lane_width
 

@@ -136,8 +136,15 @@ def parse_chunk_index(blob: bytes, nc: int) -> np.ndarray:
         d = blob[i]
         i += 1
         if d == 255:
+            if i + 2 > len(blob):
+                raise ValueError("chunk index truncated")
             d = blob[i] | (blob[i + 1] << 8)
             i += 2
+            # a chunk can consume at most 4 bytes/symbol + the 4 finish
+            # bytes; anything larger is corruption (and would overflow the
+            # decode window buckets)
+            if d > 4 * CHUNK_STEPS + 4:
+                raise ValueError(f"chunk delta {d} exceeds 4*CHUNK_STEPS+4")
         deltas[k] = d
     if i != len(blob):
         raise ValueError("chunk index has trailing bytes")
