@@ -25,6 +25,10 @@ def _make_config(args):
         cfg.codec.ari.increment = args.ari_increment
     if getattr(args, "ari_threshold", None) is not None:
         cfg.codec.ari.threshold = args.ari_threshold
+    if getattr(args, "bin_bits", None) is not None:
+        cfg.codec.ari.bin_bits = args.bin_bits
+    if getattr(args, "bin_rate", None) is not None:
+        cfg.codec.ari.bin_rate = args.bin_rate
     return cfg
 
 
@@ -155,7 +159,8 @@ def main(argv=None) -> int:
 
     def common(sp, out=True):
         sp.add_argument("-c", "--codec", default="lz4",
-                        choices=["lz4", "lz4p", "rle", "ari", "bwt", "bwtdc", "deflate"])
+                        choices=["lz4", "lz4p", "rle", "ari", "bwt", "bwtdc",
+                                 "deflate", "bin", "apm"])
         sp.add_argument("-f", "--format", default="tpz",
                         choices=["tpz", "lz4f", "zlib"])
         sp.add_argument("-b", "--block-size", type=int, default=1 << 16)
@@ -172,6 +177,11 @@ def main(argv=None) -> int:
                              "(recorded in the container)")
         sp.add_argument("--ari-threshold", type=int, default=None,
                         help="ari downscale-halving threshold")
+        sp.add_argument("--bin-bits", type=int, default=None,
+                        help="bin/apm model probability precision "
+                             "(recorded in the container)")
+        sp.add_argument("--bin-rate", type=int, default=None,
+                        help="bin/apm model adaptation shift")
         sp.add_argument("infile")
         if out:
             sp.add_argument("outfile")

@@ -176,3 +176,57 @@ def decode_bits(comp: jnp.ndarray, num_bits: jnp.ndarray, out_n: int,
             jnp.int32(1 << (model_bits - 1)), gate0)
     _, bits = lax.scan(step, init, jnp.arange(out_n, dtype=jnp.int32))
     return bits
+
+
+# ---------------------------------------------------------------------------
+# Byte-level batch codec surface (runner codecs "bin"/"apm"): bytes are
+# coded MSB-first through the binary model, one adaptive model per block.
+# In the reference all ari models (table/bin/apm) drive the same range
+# coder and the user picks one (SURVEY.md:136-139); this is the bin/apm
+# pick for whole byte blocks.
+# ---------------------------------------------------------------------------
+
+def bytes_to_bits(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(B, n) u8 -> (B, 8n) u8 of 0/1, MSB-first within each byte."""
+    b, n = blocks.shape
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (blocks[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(b, 8 * n)
+
+
+def bits_to_bytes(bits: jnp.ndarray) -> jnp.ndarray:
+    """(B, 8n) u8 of 0/1 -> (B, n) u8, MSB-first."""
+    b, n8 = bits.shape
+    w = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return (bits.reshape(b, n8 // 8, 8) * w[None, None, :]).sum(
+        axis=2).astype(jnp.uint8)
+
+
+def encode_batch(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                 model_bits: int = 12, rate: int = 5,
+                 use_apm: bool = False):
+    """(B, n) u8 byte blocks -> (comp (B, cap) u8, clens (B,) i32).
+
+    XLA scan formulation (vmapped encode_bits); the runner swaps in the
+    lane-parallel Pallas kernel (kernels.bin_coder) on TPU — identical
+    streams."""
+    import functools
+
+    bits = bytes_to_bits(blocks)
+    bit_lens = (jnp.asarray(lengths, jnp.int32) * 8)
+    fn = functools.partial(encode_bits, model_bits=model_bits, rate=rate,
+                           use_apm=use_apm)
+    return jax.vmap(fn)(bits, bit_lens)
+
+
+def decode_batch(comp: jnp.ndarray, lengths: jnp.ndarray, out_n: int,
+                 model_bits: int = 12, rate: int = 5,
+                 use_apm: bool = False):
+    """(B, cap) u8 streams + per-block BYTE lengths -> (B, out_n) u8."""
+    import functools
+
+    fn = functools.partial(decode_bits, model_bits=model_bits, rate=rate,
+                           use_apm=use_apm)
+    bits = jax.vmap(fn, in_axes=(0, 0, None))(
+        comp, jnp.asarray(lengths, jnp.int32) * 8, 8 * out_n)
+    return bits_to_bytes(bits)

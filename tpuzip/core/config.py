@@ -30,8 +30,10 @@ class Lz4Config:
 class AriConfig:
     increment: int = 8              # table model frequency increment
     threshold: int = 1 << 13        # downscale-halving threshold
-    bin_bits: int = 12              # binary model probability precision
-    bin_rate: int = 5               # binary model adaptation shift
+    bin_bits: int = 12              # bin/apm model probability precision
+    #                                 (codecs "bin"/"apm"; recorded in the
+    #                                 container's flag-4 trailer)
+    bin_rate: int = 5               # bin/apm model adaptation shift
 
 
 @dataclasses.dataclass

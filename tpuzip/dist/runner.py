@@ -51,7 +51,8 @@ def corpus_adler32(data: bytes) -> int:
     import zlib
 
     return zlib.adler32(data)
-CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4, "deflate": 5, "bwtdc": 6, "lz4p": 7}
+CODECS = {"lz4": 1, "rle": 2, "ari": 3, "bwt": 4, "deflate": 5, "bwtdc": 6,
+          "lz4p": 7, "bin": 8, "apm": 9}
 CODEC_IDS = {v: k for k, v in CODECS.items()}
 
 def _bwt_pipeline_encode(block, length):
@@ -547,6 +548,8 @@ _ENCODERS = {
               lambda n: jari.encode_cap(jdc.encode_cap(n))),
     "deflate": (_deflate_encode_batch, _deflate_cap),
     "lz4p": (None, None),  # filled below (late import avoids a cycle)
+    "bin": (None, None),
+    "apm": (None, None),
 }
 
 
@@ -556,7 +559,49 @@ def _init_lz4p():
     _ENCODERS["lz4p"] = (jlz4p.encode_batch, jlz4p.encode_cap)
 
 
+def _init_bin():
+    import functools
+
+    from tpuzip.codecs import bin_apm as jbin
+
+    cap = lambda n: jbin.encode_cap(8 * n)  # noqa: E731
+    _ENCODERS["bin"] = (jbin.encode_batch, cap)
+    _ENCODERS["apm"] = (functools.partial(jbin.encode_batch, use_apm=True),
+                        cap)
+
+
 _init_lz4p()
+_init_bin()
+
+
+def _bin_encode_auto(blocks, lengths, model_bits: int, rate: int,
+                     use_apm: bool):
+    """Binary/APM byte coder: lane-parallel Pallas kernel on TPU (the
+    lightest entropy kernel in the framework — no one-hot table scans),
+    vmapped XLA scan elsewhere.  Returns (comp (B, cap) np, clens np)."""
+    from tpuzip.codecs import bin_apm as jbin
+
+    b, n = blocks.shape
+    cap = jbin.encode_cap(8 * n)
+    if jax.devices()[0].platform == "tpu":
+        from tpuzip.kernels import bin_coder as kbin
+
+        bits = jbin.bytes_to_bits(jnp.asarray(blocks))
+        comp_np = np.zeros((b, cap), np.uint8)
+        clens = np.zeros(b, np.int64)
+        lens8 = jnp.asarray(lengths, jnp.int32) * 8
+        for g in range(0, b, kbin.LANES):
+            gb = min(kbin.LANES, b - g)
+            streams = kbin.bin_encode_streams(
+                bits[g : g + gb], lens8[g : g + gb],
+                use_apm=use_apm, model_bits=model_bits, rate=rate)
+            for k, s in enumerate(streams):
+                clens[g + k] = len(s)
+                comp_np[g + k, : len(s)] = np.frombuffer(s, np.uint8)
+        return comp_np, clens
+    comp, clens = jax.jit(jbin.encode_batch, static_argnums=(2, 3, 4))(
+        jnp.asarray(blocks), jnp.asarray(lengths), model_bits, rate, use_apm)
+    return np.asarray(comp), np.asarray(clens).astype(np.int64)
 
 
 def _decode_batch(codec: str, comp, lens, out_n):
@@ -593,8 +638,15 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         block_size = (config.codec.bwt.block_size
                       if codec in ("bwt", "bwtdc")
                       else config.mesh.block_size)
-    inc = config.codec.ari.increment
-    thr = config.codec.ari.threshold
+    if codec in ("bin", "apm"):
+        # the flag-4 trailer carries (model_bits, rate) for the binary
+        # models, reusing the <HI> ari (increment, threshold) slots
+        inc, thr = config.codec.ari.bin_bits, config.codec.ari.bin_rate
+        knob_defaults = (12, 5)
+    else:
+        inc = config.codec.ari.increment
+        thr = config.codec.ari.threshold
+        knob_defaults = (8, 1 << 13)
     mesh = mesh or meshlib.make_mesh()
     ndp = mesh.shape["dp"]
     with metrics.phase("chunk", bytes_in=len(data)):
@@ -606,7 +658,7 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         jl = jax.device_put(jnp.array(lengths), lsharding)
     enc, cap_fn = _ENCODERS[codec]
     flags = 1 if block_checksums else 0
-    if (inc, thr) != (8, 1 << 13):
+    if (inc, thr) != knob_defaults:
         flags |= 4
     if codec in ("ari", "bwt", "bwtdc"):
         # staged pipeline with the fast-decode chunk index (flag bit 1)
@@ -639,6 +691,17 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
                 comp_np = np.asarray(comp)
                 payload = b"".join(
                     comp_np[i, : clens_np[i]].tobytes() for i in range(B))
+    elif codec in ("bin", "apm"):
+        # binary adaptive model / APM-SSE gate over byte blocks (MSB-first
+        # bits), one model per block — the reference's bin.rs/apm.rs model
+        # pick wired to the same container
+        with metrics.phase("encode", bytes_in=len(data), blocks=B):
+            comp_np, clens_np = _bin_encode_auto(
+                blocks, lengths, model_bits=inc, rate=thr,
+                use_apm=(codec == "apm"))
+        with metrics.phase("assemble"):
+            payload = b"".join(
+                comp_np[i, : clens_np[i]].tobytes() for i in range(B))
     elif codec == "rle" and _native_ok():
         # threaded host encoder (RLE byte loops are the host's home turf;
         # the XLA segment encoder stays the device formulation/cross-check)
@@ -754,7 +817,7 @@ def decompress(container: bytes, mesh: Mesh | None = None,
             raise BlockLengthError("container truncated in checksum table")
         block_sums = np.frombuffer(container, np.uint32, B, off)
         off += 4 * B
-    inc, thr = 8, 1 << 13
+    inc, thr = (12, 5) if codec in ("bin", "apm") else (8, 1 << 13)
     if flags & 4:
         if len(container) < off + 6:
             raise BlockLengthError("container truncated in codec params")
@@ -801,6 +864,10 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         from tpuzip.codecs import lz4p as jlz4p
 
         cap = jlz4p.encode_cap(block_size)
+    elif codec in ("bin", "apm"):
+        from tpuzip.codecs import bin_apm as jbin
+
+        cap = jbin.encode_cap(8 * block_size)
     else:
         cap = jlz4.encode_cap(block_size)
     if off + int(clens.sum()) != len(container):
@@ -838,6 +905,16 @@ def decompress(container: bytes, mesh: Mesh | None = None,
             jc, jax.device_put(jnp.array(olens.astype(np.int32)), lsharding),
             block_size)
         out_np = np.asarray(out)
+        errs = np.zeros(B)
+    elif codec in ("bin", "apm"):
+        from tpuzip.codecs import bin_apm as jbin
+
+        with metrics.phase("decode", bytes_out=orig_len, blocks=B):
+            out = jax.jit(jbin.decode_batch, static_argnums=(2, 3, 4, 5))(
+                jc, jax.device_put(jnp.array(olens.astype(np.int32)),
+                                   lsharding),
+                block_size, inc, thr, codec == "apm")
+            out_np = np.asarray(out)
         errs = np.zeros(B)
     elif codec == "deflate":
         from tpuzip.codecs import deflate as jdef

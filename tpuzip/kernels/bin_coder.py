@@ -162,7 +162,9 @@ def bin_encode_lanes(x: jnp.ndarray, lens: jnp.ndarray,
     )(x, lens.reshape(1, LANES).astype(jnp.int32))
 
 
-def bin_encode_streams(bit_blocks, lengths, use_apm: bool = False):
+def bin_encode_streams(bit_blocks, lengths, use_apm: bool = False,
+                       model_bits: int = 12, rate: int = 5,
+                       apm_rate: int = 5):
     """(B<=128, N) 0/1 u8 + (B,) -> list of per-stream compressed bytes
     (host compaction; bit-exact vs codecs.bin_apm / the oracle chain)."""
     import numpy as np
@@ -172,7 +174,9 @@ def bin_encode_streams(bit_blocks, lengths, use_apm: bool = False):
     x = jnp.zeros((n + pad_n, LANES), jnp.uint8)
     x = x.at[:n, :b].set(jnp.transpose(bit_blocks))
     lens = jnp.zeros(LANES, jnp.int32).at[:b].set(lengths)
-    bytes_, counts, state = bin_encode_lanes(x, lens, use_apm=use_apm)
+    bytes_, counts, state = bin_encode_lanes(
+        x, lens, model_bits=model_bits, rate=rate, use_apm=use_apm,
+        apm_rate=apm_rate)
     bytes_np = np.asarray(bytes_)
     counts_np = np.asarray(counts)
     low = np.asarray(state)[0]
