@@ -108,8 +108,8 @@ uint32_t tpz_xxh32(const uint8_t* p, int64_t n, uint32_t seed) {
 // ---------------------------------------------------------------- LZ4 block
 // Greedy single-probe hash encoder, same policy/format as tpuzip.oracle.lz4.
 int64_t tpz_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
-                         int64_t cap) {
-  const int HASH_LOG = 16;
+                         int64_t cap, int hash_log) {
+  const int HASH_LOG = (hash_log >= 4 && hash_log <= 24) ? hash_log : 16;
   const int64_t MFLIMIT = 12, LASTLIT = 5;
   if (n == 0) {
     if (cap < 1) return -1;
@@ -214,9 +214,9 @@ int64_t tpz_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
 // single-probe reference policy, so compressed size only shrinks ("improve
 // behind a flag"; max_chain=1 falls back to the reference-identical path).
 int64_t tpz_lz4_compress_chained(const uint8_t* src, int64_t n, uint8_t* dst,
-                                 int64_t cap, int max_chain) {
-  if (max_chain <= 1) return tpz_lz4_compress(src, n, dst, cap);
-  const int HASH_LOG = 16;
+                                 int64_t cap, int max_chain, int hash_log) {
+  if (max_chain <= 1) return tpz_lz4_compress(src, n, dst, cap, hash_log);
+  const int HASH_LOG = (hash_log >= 4 && hash_log <= 24) ? hash_log : 16;
   const int64_t MFLIMIT = 12, LASTLIT = 5, WIN = 0xFFFF;
   if (n == 0) {
     if (cap < 1) return -1;
@@ -325,10 +325,11 @@ void tpz_lz4_compress_chained_batch(const uint8_t* src, int64_t b,
                                     int64_t n, const int32_t* lens,
                                     uint8_t* dst, int64_t dcap,
                                     int64_t* out_lens, int max_chain,
-                                    int nthreads) {
+                                    int hash_log, int nthreads) {
   parallel_blocks(b, nthreads, [&](int64_t i) {
     out_lens[i] = tpz_lz4_compress_chained(src + i * n, lens[i],
-                                           dst + i * dcap, dcap, max_chain);
+                                           dst + i * dcap, dcap, max_chain,
+                                           hash_log);
   });
 }
 
@@ -832,8 +833,29 @@ int dist_code_of(int64_t d) {
 
 }  // namespace
 
+// mode: 0 = dynamic Huffman, 1 = fixed Huffman, 2 = stored blocks —
+// the reference's block-type pick (RFC 1951 BTYPE), same LZ77 tokens for
+// dynamic/fixed; stored skips LZ77 entirely.
 int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
-                    int64_t cap, int max_chain) {
+                    int64_t cap, int max_chain, int mode) {
+  if (mode == 2) {
+    // stored: <= 65535-byte blocks, byte-aligned LEN/NLEN + raw copy
+    int64_t o = 0, i = 0;
+    do {
+      int64_t take = n - i > 65535 ? 65535 : n - i;
+      if (o + 5 + take > cap) return -1;
+      dst[o++] = (i + take >= n) ? 1 : 0;  // BFINAL, BTYPE=00 (bits 1-2)
+      uint16_t ln = (uint16_t)take, nl = (uint16_t)~take;
+      dst[o++] = (uint8_t)(ln & 0xFF);
+      dst[o++] = (uint8_t)(ln >> 8);
+      dst[o++] = (uint8_t)(nl & 0xFF);
+      dst[o++] = (uint8_t)(nl >> 8);
+      memcpy(dst + o, src + i, (size_t)take);
+      o += take;
+      i += take;
+    } while (i < n);
+    return o;
+  }
   // ---- greedy hash-chain LZ77
   const int HB = 15, MINM = 3, MAXM = 258;
   const int64_t WIN = 32768;
@@ -914,6 +936,38 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
     }
   }
   // ---- histograms
+  uint8_t llen_f[288] = {0}, dlen_f[30] = {0};
+  if (mode == 1) {
+    // RFC 1951 fixed code lengths (canonical construction below yields
+    // exactly the spec's fixed codes)
+    for (int s = 0; s < 288; ++s)
+      llen_f[s] = s < 144 ? 8 : s < 256 ? 9 : s < 280 ? 7 : 8;
+    for (int s = 0; s < 30; ++s) dlen_f[s] = 5;
+    uint16_t lcode[288], dcode[30];
+    canon_codes(llen_f, 288, lcode);
+    canon_codes(dlen_f, 30, dcode);
+    BitWr bw{dst, cap};
+    bw.bits(1, 1);  // BFINAL
+    bw.bits(1, 2);  // fixed
+    for (size_t t = 0; t < lit.size(); ++t) {
+      if (lit[t] >= 0) {
+        bw.bits(lcode[lit[t]], llen_f[lit[t]]);
+      } else {
+        int lc = len_code_of(mlens[t]);
+        bw.bits(lcode[257 + lc], llen_f[257 + lc]);
+        if (kLenEb[lc]) bw.bits((uint32_t)(mlens[t] - kLenBase[lc]),
+                                kLenEb[lc]);
+        int dc = dist_code_of(mdists[t]);
+        bw.bits(dcode[dc], dlen_f[dc]);
+        if (kDistEb[dc]) bw.bits((uint32_t)(mdists[t] - kDistBase[dc]),
+                                 kDistEb[dc]);
+      }
+    }
+    bw.bits(lcode[256], llen_f[256]);
+    bw.flush();
+    if (!bw.ok) return -1;
+    return bw.pos;
+  }
   int32_t lfreq[286] = {0}, dfreq[30] = {0};
   for (size_t t = 0; t < lit.size(); ++t) {
     if (lit[t] >= 0) {
@@ -1194,10 +1248,10 @@ int64_t tpz_ari_decode(const uint8_t* src, int64_t n, uint8_t* dst,
 
 void tpz_lz4_compress_batch(const uint8_t* src, int64_t b, int64_t n,
                             const int32_t* lens, uint8_t* dst, int64_t dcap,
-                            int64_t* out_lens, int nthreads) {
+                            int64_t* out_lens, int hash_log, int nthreads) {
   parallel_blocks(b, nthreads, [&](int64_t i) {
-    out_lens[i] =
-        tpz_lz4_compress(src + i * n, lens[i], dst + i * dcap, dcap);
+    out_lens[i] = tpz_lz4_compress(src + i * n, lens[i], dst + i * dcap,
+                                   dcap, hash_log);
   });
 }
 
@@ -1237,10 +1291,11 @@ void tpz_rle_decode_batch(const uint8_t* src, int64_t b, int64_t scap,
 
 void tpz_deflate_batch(const uint8_t* src, int64_t b, int64_t n,
                        const int32_t* lens, uint8_t* dst, int64_t dcap,
-                       int64_t* out_lens, int max_chain, int nthreads) {
+                       int64_t* out_lens, int max_chain, int mode,
+                       int nthreads) {
   parallel_blocks(b, nthreads, [&](int64_t i) {
-    out_lens[i] =
-        tpz_deflate(src + i * n, lens[i], dst + i * dcap, dcap, max_chain);
+    out_lens[i] = tpz_deflate(src + i * n, lens[i], dst + i * dcap, dcap,
+                              max_chain, mode);
   });
 }
 

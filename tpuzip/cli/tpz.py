@@ -29,6 +29,10 @@ def _make_config(args):
         cfg.codec.ari.bin_bits = args.bin_bits
     if getattr(args, "bin_rate", None) is not None:
         cfg.codec.ari.bin_rate = args.bin_rate
+    if getattr(args, "deflate_mode", None) is not None:
+        cfg.codec.deflate.mode = args.deflate_mode
+    if getattr(args, "lz4_hash_log", None) is not None:
+        cfg.codec.lz4.hash_log = args.lz4_hash_log
     return cfg
 
 
@@ -182,6 +186,11 @@ def main(argv=None) -> int:
                              "(recorded in the container)")
         sp.add_argument("--bin-rate", type=int, default=None,
                         help="bin/apm model adaptation shift")
+        sp.add_argument("--deflate-mode", default=None,
+                        choices=["dynamic", "fixed", "stored"],
+                        help="deflate block type (RFC 1951 BTYPE)")
+        sp.add_argument("--lz4-hash-log", type=int, default=None,
+                        help="LZ4 encoder hash table = 2^hash_log slots")
         sp.add_argument("infile")
         if out:
             sp.add_argument("outfile")

@@ -293,7 +293,7 @@ def decode_batch_fast(L: jnp.ndarray, origins: jnp.ndarray,
 
 
 def decode_batch_auto(L: jnp.ndarray, origins: jnp.ndarray,
-                      lengths: jnp.ndarray):
+                      lengths: jnp.ndarray, use_extra_memory: bool = True):
     """Inverse BWT for a batch, production path.
 
     The LF walk is one data-dependent load per output byte — pointer
@@ -301,11 +301,16 @@ def decode_batch_auto(L: jnp.ndarray, origins: jnp.ndarray,
     device multi-walker formulation caps at ~38 MB/s/chip while threaded
     C++ runs 400+ MB/s on the host the output lands on anyway
     (docs/DESIGN.md note 11's rule).  Falls back to the device walk when
-    the native runtime is absent or under a jit trace."""
+    the native runtime is absent or under a jit trace.
+
+    use_extra_memory=False (the reference Decoder's low-memory knob)
+    declines the host inversion's 4n-byte aux table and keeps the walk in
+    the device formulation's O(B*n) working set instead — same bytes,
+    different space/speed point."""
     b, n = L.shape
     import numpy as _np
 
-    if not isinstance(L, jax.core.Tracer):
+    if use_extra_memory and not isinstance(L, jax.core.Tracer):
         try:
             from tpuzip.runtime import native
 

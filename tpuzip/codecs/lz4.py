@@ -150,14 +150,15 @@ def decode(comp: jnp.ndarray, comp_len: jnp.ndarray, out_n: int
 # Encode
 # ---------------------------------------------------------------------------
 
-def _candidates(block: jnp.ndarray, length: jnp.ndarray):
+def _candidates(block: jnp.ndarray, length: jnp.ndarray,
+                hash_log: int = HASH_LOG):
     """For every position: nearest earlier position with the same 4-byte
     window (exact), or -1.  One stable sort, no sequential table."""
     n = block.shape[0]
     d = block.astype(jnp.uint32)
     nxt = lambda k: jnp.concatenate([d[k:], jnp.zeros(k, jnp.uint32)])
     seq = d | (nxt(1) << 8) | (nxt(2) << 16) | (nxt(3) << 24)
-    h = ((seq * HASH_MUL) >> (32 - HASH_LOG)).astype(jnp.int32)
+    h = ((seq * HASH_MUL) >> (32 - hash_log)).astype(jnp.int32)
     order = jnp.argsort(h, stable=True)          # pos ascending within hash
     h_sorted = h[order]
     prev_pos = jnp.concatenate([jnp.array([-1], jnp.int32), order[:-1].astype(jnp.int32)])
@@ -176,12 +177,16 @@ def _candidates(block: jnp.ndarray, length: jnp.ndarray):
 
 
 def encode(block: jnp.ndarray, length: jnp.ndarray,
-           cap: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """block: (N,) u8 zero-padded; returns (out (cap,) u8, out_len i32)."""
+           cap: int | None = None,
+           hash_log: int = HASH_LOG) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """block: (N,) u8 zero-padded; returns (out (cap,) u8, out_len i32).
+
+    hash_log sizes the candidate hash (collisions hide matches; the sort
+    formulation still verifies 4 bytes exactly, so any value round-trips)."""
     n = block.shape[0]
     cap = cap or encode_cap(n)
     length = jnp.asarray(length, jnp.int32)
-    cand = _candidates(block, length)
+    cand = _candidates(block, length, hash_log)
     max_seqs = n // 4 + 2
     limit = length - LAST_LITERALS  # matches may not extend past here
 
@@ -312,7 +317,11 @@ def _serialize(block, lit_starts, lit_lens, offsets, mlens, num_seqs, cap):
     return val.astype(jnp.uint8), total
 
 
-encode_batch = jax.vmap(encode, in_axes=(0, 0))
+def encode_batch(blocks, lengths, hash_log: int = HASH_LOG):
+    return jax.vmap(
+        lambda b, l: encode(b, l, hash_log=hash_log))(blocks, lengths)
+
+
 decode_batch = jax.vmap(decode, in_axes=(0, 0, None))
 
 

@@ -283,7 +283,8 @@ def _encode_bwt_segmented(jb, jl, lengths, increment, threshold
 
 def _decode_bwt_segmented(comp: np.ndarray, clens: np.ndarray,
                           olens: np.ndarray, block_size: int, B: int,
-                          increment, threshold) -> np.ndarray:
+                          increment, threshold,
+                          use_extra_memory: bool = True) -> np.ndarray:
     from tpuzip.kernels import range_decoder as rdk
 
     cs = rdk.CHUNK_STEPS
@@ -349,7 +350,8 @@ def _decode_bwt_segmented(comp: np.ndarray, clens: np.ndarray,
                             decode=True)
     Lfull = jnp.reshape(Lseg, (Bp, nseg * seg))[:, :block_size]
     out = jbwt.decode_batch_auto(Lfull, jnp.array(origins),
-                                 jnp.array(olens.astype(np.int32)))
+                                 jnp.array(olens.astype(np.int32)),
+                                 use_extra_memory=use_extra_memory)
     return np.asarray(out)
 
 
@@ -408,8 +410,8 @@ def _encode_ari_family(codec: str, jb, jl, lengths, increment: int = 8,
 
 def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
                        olens: np.ndarray, block_size: int, B: int,
-                       increment: int = 8, threshold: int = 1 << 13
-                       ) -> np.ndarray:
+                       increment: int = 8, threshold: int = 1 << 13,
+                       use_extra_memory: bool = True) -> np.ndarray:
     """Decode the flag-bit-1 staged payloads: Pallas ari decoder (TPU) or
     XLA scan, then MTF/DC + inverse BWT."""
     from tpuzip.kernels import range_decoder as rdk
@@ -450,7 +452,8 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
         jl = jnp.array(olens.astype(np.int32))
         L = _mtf_encode_auto(jsyms, jl, decode=True)
         out = jbwt.decode_batch_auto(L, jnp.array(origins),
-                                     jl.astype(jnp.int32))
+                                     jl.astype(jnp.int32),
+                                     use_extra_memory=use_extra_memory)
         return np.asarray(out)
     # bwtdc
     jdl = jnp.array(dlens.astype(np.int32))
@@ -467,7 +470,8 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
             jsyms, jdl, block_size, ms)
     if np.asarray(errs)[:B].any():
         raise CorruptStreamError(np.nonzero(np.asarray(errs)[:B])[0])
-    out = jbwt.decode_batch_auto(L, jnp.array(origins), jl)
+    out = jbwt.decode_batch_auto(L, jnp.array(origins), jl,
+                                 use_extra_memory=use_extra_memory)
     return np.asarray(out)
 
 
@@ -673,6 +677,9 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
             flags |= 8  # segmented entropy stage (config-4 big blocks)
     elif codec == "deflate":
         native_ok = _native_ok()
+        mode = config.codec.deflate.mode
+        if mode not in ("dynamic", "fixed", "stored"):
+            raise ValueError(f"deflate.mode {mode!r}")
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
             if native_ok:
                 from tpuzip.runtime import native
@@ -681,10 +688,21 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
                 # + cross-check
                 mc = config.codec.deflate.max_chain
                 comp_np, cl64 = native.deflate_batch_native(
-                    blocks, lengths, max_chain=mc)
+                    blocks, lengths, max_chain=mc, mode=mode)
                 clens_np = cl64.astype(np.int64)
                 payload = native.pack_payloads(
                     comp_np, clens_np.astype(np.int32))
+            elif mode != "dynamic":
+                # the device bulk encoder emits dynamic blocks only; the
+                # fixed/stored block types fall back to the RFC oracle
+                from tpuzip.oracle import deflate as odef
+
+                blobs = [odef.compress(
+                    blocks[i, : lengths[i]].tobytes(), mode=mode,
+                    max_chain=config.codec.deflate.max_chain)
+                    for i in range(B)]
+                clens_np = np.array([len(p) for p in blobs], np.int64)
+                payload = b"".join(blobs)
             else:
                 comp, clens = enc(jb, jl)
                 clens_np = np.asarray(clens).astype(np.int64)
@@ -722,14 +740,21 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
 
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
             comp_np, cl64 = native.lz4_compress_batch(
-                blocks, lengths, max_chain=config.codec.lz4.max_chain)
+                blocks, lengths, max_chain=config.codec.lz4.max_chain,
+                hash_log=config.codec.lz4.hash_log)
         with metrics.phase("assemble"):
             clens_np = cl64.astype(np.int64)
             payload = native.pack_payloads(
                 comp_np, clens_np.astype(np.int32))
     else:
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
-            comp, clens = jax.jit(enc)(jb, jl)
+            if codec == "lz4":
+                # device encoder path (device_encode=True or no native lib):
+                # honor the hash_log knob (static -> separate jit cache key)
+                comp, clens = jax.jit(jlz4.encode_batch, static_argnums=2)(
+                    jb, jl, config.codec.lz4.hash_log)
+            else:
+                comp, clens = jax.jit(enc)(jb, jl)
             clens_np = np.asarray(clens).astype(np.int64)
         with metrics.phase("assemble"):
             payload = _assemble_payload(mesh, comp, clens, clens_np, B)
@@ -783,7 +808,7 @@ def _assemble_payload(mesh, comp, clens, clens_np: np.ndarray,
 
 
 def decompress(container: bytes, mesh: Mesh | None = None,
-               metrics=None, to_device: bool = False):
+               metrics=None, to_device: bool = False, config=None):
     """Decode a tpz container.
 
     to_device=False (default): return the original bytes (host), with the
@@ -796,6 +821,7 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     from tpuzip.utils.metrics import RunMetrics
 
     metrics = metrics if metrics is not None else RunMetrics()
+    uxm = True if config is None else config.codec.bwt.use_extra_memory
     if container[:4] != MAGIC:
         raise HeaderError("bad tpz magic")
     if container[4] not in CODEC_IDS:
@@ -892,13 +918,15 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     if codec == "bwt" and flags & 8:
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             out_np = _decode_bwt_segmented(comp, clens, olens, block_size,
-                                           B, inc, thr)
+                                           B, inc, thr,
+                                           use_extra_memory=uxm)
         errs = np.zeros(B)
     elif codec in ("ari", "bwt", "bwtdc") and flags & 2:
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             out_np = _decode_ari_family(codec, comp, clens, olens,
                                         block_size, B, increment=inc,
-                                        threshold=thr)
+                                        threshold=thr,
+                                        use_extra_memory=uxm)
         errs = np.zeros(B)
     elif codec == "ari":
         out = jax.jit(jari.decode_batch, static_argnums=2)(

@@ -45,16 +45,17 @@ def worst_case_size(n: int) -> int:
 # Block codec
 # ---------------------------------------------------------------------------
 
-def _hash(seq: int) -> int:
-    return ((seq * HASH_MUL) & 0xFFFFFFFF) >> (32 - HASH_LOG)
+def _hash(seq: int, hash_log: int = HASH_LOG) -> int:
+    return ((seq * HASH_MUL) & 0xFFFFFFFF) >> (32 - hash_log)
 
 
-def compress_block(src: bytes) -> bytes:
+def compress_block(src: bytes, hash_log: int = HASH_LOG) -> bytes:
     """Greedy single-probe hash-table LZ4 block encoder.
 
     Mirrors the reference encoder's policy (one hash-table slot per hash, no
     chains, greedy accept of any >=4-byte verified match) so compressed size
-    tracks the reference's.
+    tracks the reference's.  hash_log sizes the table (2^hash_log slots):
+    smaller tables collide more and find fewer matches — same format.
     """
     n = len(src)
     out = bytearray()
@@ -66,7 +67,7 @@ def compress_block(src: bytes) -> bytes:
     limit = max(n - MF_LIMIT, 0)  # matches may not start in the last 12 bytes
     while i < limit:
         seq = int.from_bytes(src[i : i + 4], "little")
-        h = _hash(seq)
+        h = _hash(seq, hash_log)
         cand = table.get(h, -1)
         table[h] = i
         if (

@@ -46,11 +46,12 @@ def get_lib():
     lib.tpz_adler32.argtypes = [u8p, i64, u32]
     lib.tpz_xxh32.restype = u32
     lib.tpz_xxh32.argtypes = [u8p, i64, u32]
-    for name in ("tpz_lz4_compress", "tpz_lz4_decompress",
-                 "tpz_rle_encode", "tpz_rle_decode"):
+    for name in ("tpz_lz4_decompress", "tpz_rle_encode", "tpz_rle_decode"):
         fn = getattr(lib, name)
         fn.restype = i64
         fn.argtypes = [u8p, i64, u8p, i64]
+    lib.tpz_lz4_compress.restype = i64
+    lib.tpz_lz4_compress.argtypes = [u8p, i64, u8p, i64, ctypes.c_int]
     lib.tpz_ari_encode.restype = i64
     lib.tpz_ari_encode.argtypes = [u8p, i64, u8p, i64, u32, u32]
     lib.tpz_ari_decode.restype = i64
@@ -66,21 +67,23 @@ def get_lib():
     lib.tpz_inflate_plan.argtypes = [u8p, i64, i32p, u8p, i64,
                                      ctypes.POINTER(ctypes.c_int64)]
     lib.tpz_deflate.restype = i64
-    lib.tpz_deflate.argtypes = [u8p, i64, u8p, i64, ctypes.c_int]
+    lib.tpz_deflate.argtypes = [u8p, i64, u8p, i64, ctypes.c_int,
+                                ctypes.c_int]
     i64p, c_int = ctypes.POINTER(ctypes.c_int64), ctypes.c_int
     lib.tpz_lz4_compress_batch.restype = None
     lib.tpz_lz4_compress_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
-                                           i64p, c_int]
+                                           i64p, c_int, c_int]
     lib.tpz_lz4_decode_wplan_batch.restype = None
     lib.tpz_lz4_decode_wplan_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                i64, u8p, i64, i64, i64p,
                                                i64p, c_int]
     lib.tpz_lz4_compress_chained.restype = i64
-    lib.tpz_lz4_compress_chained.argtypes = [u8p, i64, u8p, i64, c_int]
+    lib.tpz_lz4_compress_chained.argtypes = [u8p, i64, u8p, i64, c_int,
+                                             c_int]
     lib.tpz_lz4_compress_chained_batch.restype = None
     lib.tpz_lz4_compress_chained_batch.argtypes = [u8p, i64, i64, i32p,
                                                    u8p, i64, i64p, c_int,
-                                                   c_int]
+                                                   c_int, c_int]
     lib.tpz_lz4_decode_wplan8_batch.restype = None
     lib.tpz_lz4_decode_wplan8_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                 i64, u8p, i64, i64, i64p,
@@ -93,7 +96,7 @@ def get_lib():
                                          i64p, c_int]
     lib.tpz_deflate_batch.restype = None
     lib.tpz_deflate_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64, i64p,
-                                      c_int, c_int]
+                                      c_int, c_int, c_int]
     lib.tpz_inflate_batch.restype = None
     lib.tpz_inflate_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64, i64p,
                                       c_int]
@@ -165,8 +168,9 @@ def _run2(name: str, data: bytes, cap: int, *extra) -> bytes:
     return dst[:n].tobytes()
 
 
-def lz4_compress(data: bytes) -> bytes:
-    return _run2("tpz_lz4_compress", data, len(data) + len(data) // 255 + 64)
+def lz4_compress(data: bytes, hash_log: int = 16) -> bytes:
+    return _run2("tpz_lz4_compress", data,
+                 len(data) + len(data) // 255 + 64, hash_log)
 
 
 def lz4_decompress(data: bytes, out_cap: int) -> bytes:
@@ -221,7 +225,8 @@ def _i64(arr: np.ndarray):
 
 
 def lz4_compress_batch(blocks: np.ndarray, lengths: np.ndarray,
-                       nthreads: int = 0, max_chain: int = 1):
+                       nthreads: int = 0, max_chain: int = 1,
+                       hash_log: int = 16):
     """Compress B block rows in parallel across cores.  blocks: (B, n) u8,
     lengths: (B,) valid bytes per row.  Returns (comp (B, dcap) u8,
     clens (B,) i64).  max_chain=1 is the reference-identical single-probe
@@ -238,10 +243,10 @@ def lz4_compress_batch(blocks: np.ndarray, lengths: np.ndarray,
     if max_chain > 1:
         lib.tpz_lz4_compress_chained_batch(_u8(blocks), b, n, _i32(lens),
                                            _u8(dst), dcap, _i64(out),
-                                           max_chain, nthreads)
+                                           max_chain, hash_log, nthreads)
     else:
         lib.tpz_lz4_compress_batch(_u8(blocks), b, n, _i32(lens), _u8(dst),
-                                   dcap, _i64(out), nthreads)
+                                   dcap, _i64(out), hash_log, nthreads)
     if (out < 0).any():
         raise ValueError("lz4_compress_batch failed")
     return dst, out
@@ -347,7 +352,8 @@ def rle_decode_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
 
 
 def deflate_batch_native(blocks: np.ndarray, lengths: np.ndarray,
-                         max_chain: int = 64, nthreads: int = 0):
+                         max_chain: int = 64, nthreads: int = 0,
+                         mode: str = "dynamic"):
     """Deflate B block rows in parallel across cores.  Returns
     (comp (B, dcap) u8, clens (B,) i64)."""
     lib = get_lib()
@@ -358,7 +364,8 @@ def deflate_batch_native(blocks: np.ndarray, lengths: np.ndarray,
     dst = np.zeros((b, dcap), np.uint8)
     out = np.zeros(b, np.int64)
     lib.tpz_deflate_batch(_u8(blocks), b, n, _i32(lens), _u8(dst), dcap,
-                          _i64(out), max_chain, nthreads)
+                          _i64(out), max_chain, DEFLATE_MODES[mode],
+                          nthreads)
     if (out < 0).any():
         raise ValueError("deflate_batch_native failed")
     return dst, out
@@ -452,12 +459,17 @@ def ari_build_windows(streams: np.ndarray, deltas: np.ndarray, w: int,
     return out
 
 
-def deflate(data: bytes, max_chain: int = 64) -> bytes:
+DEFLATE_MODES = {"dynamic": 0, "fixed": 1, "stored": 2}
+
+
+def deflate(data: bytes, max_chain: int = 64,
+            mode: str = "dynamic") -> bytes:
     """RFC 1951 encoder (greedy hash-chain LZ77 + package-merge dynamic
-    Huffman); streams accepted by stock zlib.  Production host encode for
-    the deflate container — the device bulk stages are the TPU
-    formulation."""
-    return _run2("tpz_deflate", data, 2 * len(data) + 4096, max_chain)
+    Huffman, or fixed/stored block types); streams accepted by stock
+    zlib.  Production host encode for the deflate container — the device
+    bulk stages are the TPU formulation."""
+    return _run2("tpz_deflate", data, 2 * len(data) + 4096, max_chain,
+                 DEFLATE_MODES[mode])
 
 
 def inflate(data: bytes, out_cap: int) -> bytes:
