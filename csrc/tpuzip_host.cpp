@@ -1089,6 +1089,177 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
   return bw.pos;
 }
 
+// ---------------------------------------------------------------- MTF/DC
+// Move-to-front (mtf.rs parity: rank in a recency list) and Binder-style
+// distance coding (dc.rs parity; format pinned by tpuzip.oracle.dc) — host
+// stages for the L4 streaming adapters, bit-exact vs the oracles.
+
+int64_t tpz_mtf(const uint8_t* src, int64_t n, uint8_t* dst, int decode) {
+  uint8_t sym[256];
+  for (int s = 0; s < 256; ++s) sym[s] = (uint8_t)s;
+  for (int64_t i = 0; i < n; ++i) {
+    if (decode) {
+      int rank = src[i];
+      uint8_t s = sym[rank];
+      dst[i] = s;
+      if (rank) {
+        memmove(sym + 1, sym, (size_t)rank);
+        sym[0] = s;
+      }
+    } else {
+      uint8_t s = src[i];
+      int rank = 0;
+      while (sym[rank] != s) ++rank;
+      dst[i] = (uint8_t)rank;
+      if (rank) {
+        memmove(sym + 1, sym, (size_t)rank);
+        sym[0] = s;
+      }
+    }
+  }
+  return n;
+}
+
+void tpz_mtf_batch(const uint8_t* src, int64_t b, int64_t cap,
+                   const int32_t* lens, uint8_t* dst, int decode,
+                   int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    tpz_mtf(src + i * cap, lens[i], dst + i * cap, decode);
+  });
+}
+
+namespace {
+void put_varint(uint8_t* dst, int64_t& o, uint32_t v) {
+  while (v >= 0x80) {
+    dst[o++] = (uint8_t)((v & 0x7F) | 0x80);
+    v >>= 7;
+  }
+  dst[o++] = (uint8_t)v;
+}
+}  // namespace
+
+int64_t tpz_dc_encode(const uint8_t* src, int64_t n, uint8_t* dst,
+                      int64_t cap) {
+  if (cap < 4 + 256 * 4) return -1;
+  int64_t o = 0;
+  uint32_t n32 = (uint32_t)n;
+  memcpy(dst + o, &n32, 4);
+  o += 4;
+  // first-occurrence table (== n if absent) + per-symbol run-head lists
+  uint32_t first[256];
+  for (int s = 0; s < 256; ++s) first[s] = n32;
+  // single pass: decompose runs, record heads, chain next-head per symbol
+  std::vector<int64_t> heads;   // run head positions in run order
+  std::vector<uint8_t> rsym;    // run symbol
+  std::vector<int64_t> rend;    // run end (exclusive)
+  for (int64_t i = 0; i < n;) {
+    uint8_t s = src[i];
+    int64_t j = i;
+    while (j < n && src[j] == s) ++j;
+    if (first[s] == n32) first[s] = (uint32_t)i;
+    heads.push_back(i);
+    rsym.push_back(s);
+    rend.push_back(j);
+    i = j;
+  }
+  memcpy(dst + o, first, 256 * 4);
+  o += 256 * 4;
+  // next run head of the same symbol: one backward pass
+  std::vector<int64_t> nxt(heads.size(), -1);
+  int64_t last_head[256];
+  for (int s = 0; s < 256; ++s) last_head[s] = -1;
+  for (int64_t r = (int64_t)heads.size() - 1; r >= 0; --r) {
+    nxt[(size_t)r] = last_head[rsym[(size_t)r]];
+    last_head[rsym[(size_t)r]] = heads[(size_t)r];
+  }
+  for (size_t r = 0; r < heads.size(); ++r) {
+    if (o + 5 > cap) return -1;
+    if (nxt[r] >= 0)
+      put_varint(dst, o, (uint32_t)(nxt[r] - (rend[r] - 1)));
+    else
+      put_varint(dst, o, 0);
+  }
+  return o;
+}
+
+int64_t tpz_dc_decode(const uint8_t* src, int64_t n, uint8_t* dst,
+                      int64_t cap) {
+  if (n < 4 + 256 * 4) return -1;
+  uint32_t out_n;
+  memcpy(&out_n, src, 4);
+  if ((int64_t)out_n > cap) return -1;
+  int64_t i = 4;
+  // scheduled heads: position -> symbol; <= 256 live at any time (one per
+  // symbol), so a flat array + linear min scan is cache-friendly
+  int64_t sched_pos[256];
+  int nsched = 0;
+  uint8_t sched_sym[256];
+  for (int s = 0; s < 256; ++s) {
+    uint32_t f;
+    memcpy(&f, src + i, 4);
+    i += 4;
+    if (f < out_n) {
+      sched_pos[nsched] = f;
+      sched_sym[nsched++] = (uint8_t)s;
+    }
+  }
+  int64_t pos = 0;
+  while (pos < out_n) {
+    // find the scheduled head at pos and the next-smallest head
+    int cur = -1;
+    int64_t nxt = out_n;
+    for (int k = 0; k < nsched; ++k) {
+      if (sched_pos[k] == pos) cur = k;
+      else if (sched_pos[k] < nxt) nxt = sched_pos[k];
+    }
+    if (cur < 0) return -2;  // no run head scheduled here: corrupt
+    uint8_t s = sched_sym[cur];
+    memset(dst + pos, s, (size_t)(nxt - pos));
+    int64_t run_end = nxt - 1;
+    // read varint distance
+    uint32_t d = 0;
+    int shift = 0;
+    while (true) {
+      if (i >= n) return -2;
+      uint8_t byte = src[i++];
+      d |= (uint32_t)(byte & 0x7F) << shift;
+      if (byte < 0x80) break;
+      shift += 7;
+      if (shift > 28) return -2;
+    }
+    if (d) {
+      int64_t target = run_end + d;
+      if (target >= out_n || target < nxt) return -2;
+      for (int k = 0; k < nsched; ++k)
+        if (sched_pos[k] == target) return -2;  // double-scheduled: corrupt
+      sched_pos[cur] = target;  // reuse the slot
+    } else {
+      sched_pos[cur] = sched_pos[--nsched];
+      sched_sym[cur] = sched_sym[nsched];
+    }
+    pos = nxt;
+  }
+  return out_n;
+}
+
+void tpz_dc_encode_batch(const uint8_t* src, int64_t b, int64_t cap,
+                         const int32_t* lens, uint8_t* dst, int64_t dcap,
+                         int64_t* out_lens, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_dc_encode(src + i * cap, lens[i], dst + i * dcap,
+                                dcap);
+  });
+}
+
+void tpz_dc_decode_batch(const uint8_t* src, int64_t b, int64_t cap,
+                         const int32_t* lens, uint8_t* dst, int64_t dcap,
+                         int64_t* out_lens, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_dc_decode(src + i * cap, lens[i], dst + i * dcap,
+                                dcap);
+  });
+}
+
 // ---------------------------------------------------------------- RLE
 int64_t tpz_rle_encode(const uint8_t* src, int64_t n, uint8_t* dst,
                        int64_t cap) {

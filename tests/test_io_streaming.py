@@ -166,3 +166,31 @@ def test_codec_stream_truncation_detected():
     data = sink.getvalue()
     with pytest.raises(ValueError, match="truncated"):
         CodecReader(io.BytesIO(data[: len(data) // 2]), "ari").read()
+
+
+def test_codec_adapters_batched_equals_oracle_path():
+    """VERDICT r2 item 5: the batched production path must emit byte-
+    identical frames to the per-block oracle path, and decode either."""
+    import io as pyio
+
+    import numpy as np
+
+    from tpuzip.io import CodecReader, CodecWriter
+
+    rng = np.random.default_rng(11)
+    data = (open("/root/repo/SURVEY.md", "rb").read()
+            + bytes(rng.integers(0, 8, 40000, dtype=np.uint8)))[:70000]
+    for codec in ("ari", "bwt", "rle", "mtf", "dc"):
+        batched, oracle = pyio.BytesIO(), pyio.BytesIO()
+        with CodecWriter(batched, codec, block_size=4096) as w:
+            for k in range(0, len(data), 1000):  # ragged writes
+                w.write(data[k : k + 1000])
+        with CodecWriter(oracle, codec, block_size=4096,
+                         batch_blocks=1) as w:
+            w.write(data)
+        assert batched.getvalue() == oracle.getvalue(), codec
+        batched.seek(0)
+        assert CodecReader(batched, codec).read() == data, codec
+        oracle.seek(0)
+        assert CodecReader(oracle, codec,
+                           batch_blocks=1).read() == data, codec

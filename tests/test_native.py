@@ -214,3 +214,42 @@ def test_native_lz4_chained_encoder(rng):
     assert native.lz4_decompress(blob, n + 64) == s
     # max_chain=1 stays bit-identical to the reference greedy policy
     assert c1[0, : l1[0]].tobytes() == olz4.compress_block(s)
+
+
+def test_native_mtf_dc_batch_oracle_parity(rng):
+    """Threaded C++ MTF/DC (adapter host stages) == oracle, both ways,
+    ragged batch; corrupt DC isolates with a negative status."""
+    from tpuzip.oracle import dc as odc, mtf as omtf
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    chunks = [
+        b"abracadabra banana mississippi " * 40,
+        bytes(rng.integers(0, 4, 3000, dtype=np.uint8)),
+        b"\x00" * 500 + b"\x01" * 300,
+        b"x",
+    ]
+    cap = max(len(c) for c in chunks)
+    rows = np.zeros((len(chunks), cap), np.uint8)
+    lens = np.zeros(len(chunks), np.int32)
+    for i, c in enumerate(chunks):
+        rows[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    enc = native.mtf_batch(rows, lens)
+    for i, c in enumerate(chunks):
+        assert enc[i, : len(c)].tobytes() == omtf.encode(c), i
+    dec = native.mtf_batch(enc, lens, decode=True)
+    for i, c in enumerate(chunks):
+        assert dec[i, : len(c)].tobytes() == c, i
+
+    comp, cl = native.dc_encode_batch(rows, lens)
+    for i, c in enumerate(chunks):
+        assert comp[i, : cl[i]].tobytes() == odc.encode(c), i
+    out, got = native.dc_decode_batch(comp, cl.astype(np.int32), cap)
+    for i, c in enumerate(chunks):
+        assert got[i] == len(c) and out[i, : len(c)].tobytes() == c, i
+    bad = comp.copy()
+    bad[1, 5] ^= 0xFF  # corrupt block 1's first-occurrence table
+    _, got_bad = native.dc_decode_batch(bad, cl.astype(np.int32), cap)
+    assert got_bad[1] < 0 and got_bad[0] == len(chunks[0])

@@ -342,33 +342,219 @@ STREAM_CODECS = {
     "dc": (_dc_enc, _dc_dec),
 }
 
+# Adapter batch width: the writer/reader buffer this many blocks and push
+# them through the SAME threaded-C++/device batch stages the tpz runner
+# uses (VERDICT r2 item 5 — the oracle table above remains the format
+# definition and the per-block fallback).
+ADAPTER_BATCH = 64
+
+
+def _native_mod():
+    try:
+        from tpuzip.runtime import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
+def _pack_rows(chunks):
+    import numpy as np
+
+    b = len(chunks)
+    # power-of-two row width keeps jit cache keys stable across batches
+    n = max(len(c) for c in chunks)
+    n = max(1 << (n - 1).bit_length() if n > 1 else 1, 256)
+    rows = np.zeros((b, n), np.uint8)
+    lens = np.zeros(b, np.int32)
+    for i, c in enumerate(chunks):
+        rows[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    return rows, lens
+
+
+def _batch_encode(codec: str, chunks) -> list:
+    """Encode a list of byte blocks through the production batch stages —
+    identical per-block payloads to the oracle table (bit-exactness is the
+    framework's cross-implementation contract)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    native = _native_mod()
+    rows, lens = _pack_rows(chunks)
+    b = len(chunks)
+    if codec == "rle":
+        if native is not None:
+            comp, cl = native.rle_encode_batch(rows, lens)
+        else:
+            from tpuzip.codecs import rle as jrle
+
+            comp_j, cl_j = jax.jit(jrle.encode_batch)(
+                jnp.asarray(rows), jnp.asarray(lens))
+            comp, cl = np.asarray(comp_j), np.asarray(cl_j)
+        return [comp[i, : int(cl[i])].tobytes() for i in range(b)]
+    if codec == "bwt":
+        if native is not None:
+            L, origins = native.bwt_forward_batch(rows, lens)
+        else:
+            from tpuzip.codecs import bwt as jbwt
+
+            L_j, o_j = jax.jit(jbwt.encode_batch_fast)(
+                jnp.asarray(rows), jnp.asarray(lens))
+            L, origins = np.asarray(L_j), np.asarray(o_j)
+        return [struct.pack("<I", int(origins[i]))
+                + L[i, : int(lens[i])].tobytes() for i in range(b)]
+    if codec == "ari":
+        if native is not None:
+            return [native.ari_encode(c) for c in chunks]
+        from tpuzip.codecs import ari as jari
+
+        comp_j, cl_j = jax.jit(jari.encode_batch)(
+            jnp.asarray(rows), jnp.asarray(lens))
+        comp, cl = np.asarray(comp_j), np.asarray(cl_j)
+        return [comp[i, : int(cl[i])].tobytes() for i in range(b)]
+    if codec == "mtf":
+        if native is not None:
+            out = native.mtf_batch(rows, lens)
+        else:
+            from tpuzip.codecs import mtf as jmtf
+
+            out = np.asarray(jax.jit(jmtf.encode_batch)(
+                jnp.asarray(rows), jnp.asarray(lens)))
+        return [out[i, : int(lens[i])].tobytes() for i in range(b)]
+    if codec == "dc":
+        if native is not None:
+            comp, cl = native.dc_encode_batch(rows, lens)
+        else:
+            from tpuzip.codecs import dc as jdc
+
+            comp_j, cl_j = jax.jit(jdc.encode_batch)(
+                jnp.asarray(rows), jnp.asarray(lens))
+            comp, cl = np.asarray(comp_j), np.asarray(cl_j)
+        return [comp[i, : int(cl[i])].tobytes() for i in range(b)]
+    raise ValueError(codec)
+
+
+def _batch_decode(codec: str, payloads, olens) -> list:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    native = _native_mod()
+    b = len(payloads)
+    out_n = max(max(olens), 1)
+    out_n = max(1 << (out_n - 1).bit_length() if out_n > 1 else 1, 256)
+    if codec == "bwt":
+        Ls = [p[4:] for p in payloads]
+        origins = np.array([struct.unpack_from("<I", p, 0)[0]
+                            for p in payloads], np.int32)
+        rows, lens = _pack_rows(Ls)
+        from tpuzip.codecs import bwt as jbwt
+
+        out = np.asarray(jbwt.decode_batch_auto(
+            jnp.asarray(rows), jnp.asarray(origins), jnp.asarray(lens)))
+        return [out[i, : int(lens[i])].tobytes() for i in range(b)]
+    if codec == "rle":
+        rows, lens = _pack_rows(payloads)
+        if native is not None:
+            out, st = native.rle_decode_batch(rows, lens, out_n)
+            if (st < 0).any():
+                raise ValueError("rle stream corrupt in adapter batch")
+            got = st
+        else:
+            from tpuzip.codecs import rle as jrle
+
+            out_j, got_j = jax.jit(jrle.decode_batch, static_argnums=2)(
+                jnp.asarray(rows), jnp.asarray(lens), out_n)
+            out, got = np.asarray(out_j), np.asarray(got_j)
+        return [out[i, : int(got[i])].tobytes() for i in range(b)]
+    if codec == "ari":
+        if native is not None:
+            return [native.ari_decode(payloads[i], olens[i])
+                    for i in range(b)]
+        rows, _ = _pack_rows(payloads)
+        from tpuzip.codecs import ari as jari
+
+        out = np.asarray(jax.jit(jari.decode_batch, static_argnums=2)(
+            jnp.asarray(rows), jnp.asarray(np.array(olens, np.int32)),
+            out_n))
+        return [out[i, : olens[i]].tobytes() for i in range(b)]
+    if codec == "mtf":
+        rows, lens = _pack_rows(payloads)
+        if native is not None:
+            out = native.mtf_batch(rows, lens, decode=True)
+        else:
+            from tpuzip.codecs import mtf as jmtf
+
+            out = np.asarray(jax.jit(jmtf.decode_batch)(
+                jnp.asarray(rows), jnp.asarray(lens)))
+        return [out[i, : int(lens[i])].tobytes() for i in range(b)]
+    if codec == "dc":
+        rows, lens = _pack_rows(payloads)
+        if native is not None:
+            out, got = native.dc_decode_batch(rows, lens, out_n)
+            if (got < 0).any():
+                raise ValueError("dc stream corrupt in adapter batch")
+        else:
+            from tpuzip.codecs import dc as jdc
+
+            out_j, got_j, err_j = jax.jit(
+                jdc.decode_batch, static_argnums=2)(
+                jnp.asarray(rows), jnp.asarray(lens), out_n)
+            err = np.asarray(err_j)
+            if err.any():
+                raise ValueError("dc stream corrupt in adapter batch")
+            out, got = np.asarray(out_j), np.asarray(got_j)
+        return [out[i, : int(got[i])].tobytes() for i in range(b)]
+    raise ValueError(codec)
+
 
 class CodecWriter(_WriterBase):
-    """Framed streaming encoder for any block codec (L4 Encoder<W> parity)."""
+    """Framed streaming encoder for any block codec (L4 Encoder<W> parity).
 
-    def __init__(self, inner, codec: str, block_size: int = 1 << 16):
+    Buffers up to ADAPTER_BATCH blocks and encodes them through the same
+    threaded-C++/device batch stages as the tpz runner; frame format and
+    payload bytes are unchanged (bit-exact vs the per-block oracle path,
+    selectable with batch_blocks=1 for cross-checks)."""
+
+    def __init__(self, inner, codec: str, block_size: int = 1 << 16,
+                 batch_blocks: int = ADAPTER_BATCH):
         super().__init__(inner)
         if codec not in STREAM_CODECS:
             raise ValueError(f"unknown streaming codec {codec!r}")
         self.codec = codec
         self.block_size = block_size
+        self.batch_blocks = max(1, batch_blocks)
         self.buf = bytearray()
 
     def write(self, data: bytes) -> int:
         self.buf += data
-        while len(self.buf) >= self.block_size:
-            self._emit(bytes(self.buf[: self.block_size]))
-            del self.buf[: self.block_size]
+        hi = self.batch_blocks * self.block_size
+        while len(self.buf) >= hi:
+            self._emit_batch([bytes(self.buf[k : k + self.block_size])
+                              for k in range(0, hi, self.block_size)])
+            del self.buf[:hi]
         return len(data)
 
-    def _emit(self, chunk: bytes) -> None:
-        payload = STREAM_CODECS[self.codec][0](chunk)
-        self.inner.write(struct.pack("<II", len(payload), len(chunk)))
-        self.inner.write(payload)
+    def _emit_batch(self, chunks) -> None:
+        if len(chunks) == 1 and self.batch_blocks == 1:
+            payloads = [STREAM_CODECS[self.codec][0](chunks[0])]
+        else:
+            payloads = _batch_encode(self.codec, chunks)
+        for chunk, payload in zip(chunks, payloads):
+            self.inner.write(struct.pack("<II", len(payload), len(chunk)))
+            self.inner.write(payload)
 
     def flush(self) -> None:
         if self.buf:
-            self._emit(bytes(self.buf))
+            chunks = [bytes(self.buf[k : k + self.block_size])
+                      for k in range(0, len(self.buf), self.block_size)]
+            self._emit_batch(chunks)
             self.buf.clear()
 
     def close(self) -> None:
@@ -382,13 +568,19 @@ class CodecWriter(_WriterBase):
 
 
 class CodecReader:
-    """Framed streaming decoder (L4 Decoder<R> parity)."""
+    """Framed streaming decoder (L4 Decoder<R> parity).
 
-    def __init__(self, inner, codec: str):
+    Pulls up to ADAPTER_BATCH frames at a time and decodes them through
+    the production batch stages (threaded C++ inverse BWT / RLE, batched
+    XLA elsewhere); batch_blocks=1 selects the per-block oracle path."""
+
+    def __init__(self, inner, codec: str,
+                 batch_blocks: int = ADAPTER_BATCH):
         if codec not in STREAM_CODECS:
             raise ValueError(f"unknown streaming codec {codec!r}")
         self.inner = inner
         self.codec = codec
+        self.batch_blocks = max(1, batch_blocks)
         self.pending = bytearray()
         self.done = False
 
@@ -412,14 +604,15 @@ class CodecReader:
             del self.pending[:n]
         return out
 
-    def _pull(self) -> None:
+    def _read_frame(self):
+        """One frame (payload, olen) or None at the end mark."""
         hdr = self.inner.read(4)
         if len(hdr) < 4:
             raise ValueError("truncated codec stream")
         (clen,) = struct.unpack("<I", hdr)
         if clen == 0:
             self.done = True
-            return
+            return None
         hdr2 = self.inner.read(4)
         if len(hdr2) < 4:
             raise ValueError("truncated codec stream header")
@@ -427,12 +620,28 @@ class CodecReader:
         payload = self.inner.read(clen)
         if len(payload) < clen:
             raise ValueError("truncated codec stream payload")
-        out = STREAM_CODECS[self.codec][1](payload, olen)
-        if len(out) != olen:
-            raise ValueError(
-                f"{self.codec} block decoded to {len(out)} bytes, "
-                f"header says {olen}")
-        self.pending += out
+        return payload, olen
+
+    def _pull(self) -> None:
+        payloads, olens = [], []
+        while len(payloads) < self.batch_blocks:
+            frame = self._read_frame()
+            if frame is None:
+                break
+            payloads.append(frame[0])
+            olens.append(frame[1])
+        if not payloads:
+            return
+        if len(payloads) == 1 and self.batch_blocks == 1:
+            outs = [STREAM_CODECS[self.codec][1](payloads[0], olens[0])]
+        else:
+            outs = _batch_decode(self.codec, payloads, olens)
+        for out, olen in zip(outs, olens):
+            if len(out) != olen:
+                raise ValueError(
+                    f"{self.codec} block decoded to {len(out)} bytes, "
+                    f"header says {olen}")
+            self.pending += out
 
 
 class ZlibReader:

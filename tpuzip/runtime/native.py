@@ -88,6 +88,14 @@ def get_lib():
     lib.tpz_lz4_decode_wplan8_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                 i64, u8p, i64, i64, i64p,
                                                 i64p, c_int]
+    lib.tpz_mtf_batch.restype = None
+    lib.tpz_mtf_batch.argtypes = [u8p, i64, i64, i32p, u8p, c_int, c_int]
+    lib.tpz_dc_encode_batch.restype = None
+    lib.tpz_dc_encode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                        i64p, c_int]
+    lib.tpz_dc_decode_batch.restype = None
+    lib.tpz_dc_decode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                        i64p, c_int]
     lib.tpz_rle_encode_batch.restype = None
     lib.tpz_rle_encode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
                                          i64p, c_int]
@@ -406,6 +414,53 @@ def inflate_plan_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
     if (out < 0).any():
         raise ValueError("inflate_plan_batch failed (corrupt stream)")
     return plans, lits, out, nlits
+
+
+def mtf_batch(blocks: np.ndarray, lengths: np.ndarray,
+              decode: bool = False, nthreads: int = 0) -> np.ndarray:
+    """Threaded move-to-front over B block rows (bit-exact vs
+    tpuzip.oracle.mtf both directions)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, cap = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dst = np.zeros((b, cap), np.uint8)
+    lib.tpz_mtf_batch(_u8(blocks), b, cap, _i32(lens), _u8(dst),
+                      1 if decode else 0, nthreads)
+    return dst
+
+
+def dc_encode_batch(blocks: np.ndarray, lengths: np.ndarray,
+                    nthreads: int = 0):
+    """Threaded distance-coding encode (oracle.dc format).  Returns
+    (comp (B, dcap) u8, clens (B,) i64)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, cap = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dcap = 4 + 256 * 4 + 5 * cap + 16
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_dc_encode_batch(_u8(blocks), b, cap, _i32(lens), _u8(dst),
+                            dcap, _i64(out), nthreads)
+    if (out < 0).any():
+        raise ValueError("dc_encode_batch failed")
+    return dst, out
+
+
+def dc_decode_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
+                    nthreads: int = 0):
+    """Threaded distance-coding decode.  Returns (out (B, out_cap) u8,
+    stat (B,) i64 — decoded length, or negative on corrupt streams)."""
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, cap = comp.shape
+    lens = _contig(clens, np.int32)
+    dst = np.zeros((b, out_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_dc_decode_batch(_u8(comp), b, cap, _i32(lens), _u8(dst),
+                            out_cap, _i64(out), nthreads)
+    return dst, out
 
 
 def bwt_forward_batch(blocks: np.ndarray, lengths: np.ndarray,
