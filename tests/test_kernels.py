@@ -1,10 +1,11 @@
 """Pallas kernel tests (interpret mode — CPU-hermetic).
 
-The ari encode kernel currently trips a jax interpret-mode lowering bug
-(closed_call cache KeyError) on CPU; it is validated bit-exactly against the
-oracle on real TPU hardware instead (see commit log / BASELINE.md), and the
-XLA-scan ari codec covers the format on CPU.
-"""
+The MTF kernel runs under plain interpret=True.  The ari/bin coder kernels
+trip the generic interpreter's lowering ('program_id' MLIR rule missing on
+cpu) but run under the TPU-semantics interpreter
+(pltpu.InterpretParams, jax >= 0.9) — the real kernel bodies execute on
+CPU and are asserted bit-exact vs the oracle streams, so a format-breaking
+kernel edit fails CI instead of the next chip run (VERDICT r2 item 8)."""
 
 import numpy as np
 import pytest
@@ -80,3 +81,110 @@ def test_pallas_dc_decode_interpret(rng):
                                          interpret=True)
     err2 = np.asarray(err2)
     assert err2[0] == 1 and err2[1] == 0 and err2[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# ari Pallas kernels under the TPU-semantics interpreter (VERDICT r2 item 8:
+# a format-breaking edit to range_coder.py/range_decoder.py must fail CI,
+# not the next chip run).  jax 0.9's pltpu.InterpretParams executes the real
+# kernel body on CPU; plain interpret=True still trips the lowering bug.
+# ---------------------------------------------------------------------------
+
+def _interp():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.InterpretParams()
+
+
+def _oracle_streams(blocks, lens, increment=8, threshold=1 << 13):
+    from tpuzip.oracle import ari as oari
+
+    return [oari.encode_bytes(blocks[i, : lens[i]].tobytes(),
+                              increment=increment, threshold=threshold)
+            for i in range(blocks.shape[0])]
+
+
+def test_ari_encode_kernel_interpret_bit_exact(rng):
+    from tpuzip.kernels import range_coder as rck
+
+    n, b = 256, 6
+    blocks = np.zeros((b, n), np.uint8)
+    blocks[0] = rng.integers(0, 256, n)
+    blocks[1] = rng.integers(0, 4, n)       # skewed
+    blocks[2, :] = 7                         # constant
+    blocks[3] = np.frombuffer(
+        (b"kernel format contract " * 12)[:n], np.uint8)
+    blocks[4, :100] = rng.integers(0, 256, 100)  # ragged
+    lens = np.array([n, n, n, n, 100, 0], np.int32)
+    streams = rck.ari_encode_batch_kernel(
+        jnp.array(blocks), jnp.array(lens), interpret=_interp())
+    want = _oracle_streams(blocks, lens)
+    for i in range(b):
+        assert streams[i] == want[i], f"lane {i}"
+
+
+def test_ari_encode_kernel_interpret_nondefault_knobs(rng):
+    from tpuzip.kernels import range_coder as rck
+
+    n, b = 256, 2
+    blocks = rng.integers(0, 16, (b, n)).astype(np.uint8)
+    lens = np.full(b, n, np.int32)
+    width = rck.lane_width(b)
+    x = jnp.zeros((n, width), jnp.uint8).at[:, :b].set(
+        jnp.transpose(jnp.array(blocks)))
+    jl = jnp.zeros(width, jnp.int32).at[:b].set(jnp.array(lens))
+    streams, slens = rck.ari_encode_lanes_packed(
+        x, jl, increment=16, threshold=1 << 10, interpret=_interp())
+    want = _oracle_streams(blocks, lens, increment=16, threshold=1 << 10)
+    got = np.asarray(streams)
+    for i in range(b):
+        assert got[i, : int(slens[i])].tobytes() == want[i]
+
+
+def test_ari_decode_kernel_interpret_round_trip(rng):
+    from tpuzip.kernels import range_coder as rck
+    from tpuzip.kernels import range_decoder as rdk
+
+    n, b = 256, 4
+    blocks = np.zeros((b, n), np.uint8)
+    blocks[0] = rng.integers(0, 256, n)
+    blocks[1] = rng.integers(0, 3, n)
+    blocks[2, :] = 0
+    blocks[3, :128] = np.frombuffer(b"decode contract " * 8, np.uint8)
+    lens = np.array([n, n, n, 128], np.int32)
+    width = rck.lane_width(b)
+    x = jnp.zeros((n, width), jnp.uint8).at[:, :b].set(
+        jnp.transpose(jnp.array(blocks)))
+    jl = jnp.zeros(width, jnp.int32).at[:b].set(jnp.array(lens))
+    streams, slens, deltas = rck.ari_encode_lanes_packed_indexed(
+        x, jl, interpret=_interp())
+    out = rdk.ari_decode_batch_kernel(
+        np.asarray(streams)[:b], np.asarray(deltas).T[:b],
+        jnp.array(lens), n, interpret=_interp())
+    out_np = np.asarray(out)
+    for i in range(b):
+        assert out_np[i, : lens[i]].tolist() == \
+            blocks[i, : lens[i]].tolist(), f"lane {i}"
+
+
+def test_bin_coder_kernel_interpret_bit_exact(rng):
+    from tpuzip.codecs import bin_apm
+    from tpuzip.kernels import bin_coder as kbin
+    from tpuzip.oracle import ari as oari
+
+    n, b = 256, 3
+    bits = np.zeros((b, n), np.uint8)
+    bits[0] = rng.integers(0, 2, n)
+    bits[1] = (rng.random(n) < 0.05).astype(np.uint8)
+    bits[2, :77] = 1
+    lens = np.array([n, n, 77], np.int32)
+    for use_apm in (False, True):
+        streams = kbin.bin_encode_streams(
+            jnp.array(bits), jnp.array(lens), use_apm=use_apm,
+            interpret=_interp())
+        for i in range(b):
+            comp, clen = bin_apm.encode_bits(
+                jnp.array(bits[i]), jnp.int32(int(lens[i])),
+                use_apm=use_apm)
+            want = np.asarray(comp)[: int(clen)].tobytes()
+            assert streams[i] == want, (use_apm, i)

@@ -164,7 +164,7 @@ def bin_encode_lanes(x: jnp.ndarray, lens: jnp.ndarray,
 
 def bin_encode_streams(bit_blocks, lengths, use_apm: bool = False,
                        model_bits: int = 12, rate: int = 5,
-                       apm_rate: int = 5):
+                       apm_rate: int = 5, interpret: bool = False):
     """(B<=128, N) 0/1 u8 + (B,) -> list of per-stream compressed bytes
     (host compaction; bit-exact vs codecs.bin_apm / the oracle chain)."""
     import numpy as np
@@ -176,7 +176,7 @@ def bin_encode_streams(bit_blocks, lengths, use_apm: bool = False,
     lens = jnp.zeros(LANES, jnp.int32).at[:b].set(lengths)
     bytes_, counts, state = bin_encode_lanes(
         x, lens, model_bits=model_bits, rate=rate, use_apm=use_apm,
-        apm_rate=apm_rate)
+        apm_rate=apm_rate, interpret=interpret)
     bytes_np = np.asarray(bytes_)
     counts_np = np.asarray(counts)
     low = np.asarray(state)[0]

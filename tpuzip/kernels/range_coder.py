@@ -215,10 +215,12 @@ def ari_encode_batch_kernel(blocks: jnp.ndarray, lengths: jnp.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("increment", "threshold"))
+@functools.partial(jax.jit, static_argnames=("increment", "threshold",
+                                              "interpret"))
 def ari_encode_lanes_packed_indexed(x: jnp.ndarray, lens: jnp.ndarray,
                                     increment: int = 8,
-                                    threshold: int = 1 << 13):
+                                    threshold: int = 1 << 13,
+                                    interpret: bool = False):
     """ari_encode_lanes_packed + the per-chunk byte-consumption index the
     Pallas decoder needs (kernels/range_decoder.py): returns
     (streams (128, CAP) u8, stream_lens (128,) i32, deltas (NC, 128) i32)
@@ -227,24 +229,28 @@ def ari_encode_lanes_packed_indexed(x: jnp.ndarray, lens: jnp.ndarray,
     from tpuzip.kernels.range_decoder import chunk_deltas
 
     streams, slens, counts = _encode_lanes_packed_core(
-        x, lens, increment, threshold)
+        x, lens, increment, threshold, interpret)
     return streams, slens, chunk_deltas(counts)
 
 
-@functools.partial(jax.jit, static_argnames=("increment", "threshold"))
+@functools.partial(jax.jit, static_argnames=("increment", "threshold",
+                                              "interpret"))
 def ari_encode_lanes_packed(x: jnp.ndarray, lens: jnp.ndarray,
-                            increment: int = 8, threshold: int = 1 << 13):
+                            increment: int = 8, threshold: int = 1 << 13,
+                            interpret: bool = False):
     """Kernel + ON-DEVICE compaction: returns (streams (128, CAP) u8,
     stream_lens (128,) i32) — each row a complete oracle-format ari stream
     (renorm bytes + the 4 finish bytes).  No host round-trips."""
     streams, slens, _ = _encode_lanes_packed_core(x, lens, increment,
-                                                  threshold)
+                                                  threshold, interpret)
     return streams, slens
 
 
-def _encode_lanes_packed_core(x, lens, increment, threshold):
+def _encode_lanes_packed_core(x, lens, increment, threshold,
+                              interpret=False):
     n, lanes = x.shape
-    bytes_, counts, state = ari_encode_lanes(x, lens, increment, threshold)
+    bytes_, counts, state = ari_encode_lanes(x, lens, increment, threshold,
+                                             interpret)
     cap = 2 * n + 64
     cnt = counts.astype(jnp.int32)                      # (N, L)
     offs = jnp.cumsum(cnt, axis=0) - cnt                # exclusive, per lane
