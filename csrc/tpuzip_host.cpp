@@ -1411,6 +1411,179 @@ int64_t tpz_ari_decode(const uint8_t* src, int64_t n, uint8_t* dst,
   return num_syms;
 }
 
+// ari encode with the fast-decode chunk index: deltas[c] = renorm bytes
+// emitted while coding symbols [64c, 64c+64) — identical to the Pallas
+// kernel's chunk_deltas (the decoder replays the same pulls), so host- and
+// chip-encoded staged containers are interchangeable.
+int64_t tpz_ari_encode_indexed(const uint8_t* src, int64_t n, uint8_t* dst,
+                               int64_t cap, uint32_t increment,
+                               uint32_t threshold, int32_t* deltas,
+                               int64_t nc) {
+  const int64_t CHUNK = 64;
+  AriModel m;
+  m.init(increment, threshold);
+  uint32_t low = 0, range = 0xFFFFFFFFu;
+  int64_t o = 0;
+  for (int64_t c = 0; c < nc; ++c) deltas[c] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int sym = src[i];
+    uint32_t cumlo = 0;
+    for (int s = 0; s < sym; ++s) cumlo += m.freq[s];
+    uint32_t r = range / m.total;
+    low += r * cumlo;
+    range = r * m.freq[sym];
+    for (;;) {
+      if (((low ^ (low + range)) < A_TOP)) {
+      } else if (range < A_BOT) {
+        range = (uint32_t)(-(int64_t)low) & (A_BOT - 1);
+      } else {
+        break;
+      }
+      if (o >= cap) return -1;
+      dst[o++] = (uint8_t)(low >> 24);
+      if (i / CHUNK < nc) deltas[i / CHUNK]++;
+      low <<= 8;
+      range <<= 8;
+    }
+    m.update(sym);
+  }
+  for (int k = 0; k < 4; ++k) {
+    if (o >= cap) return -1;
+    dst[o++] = (uint8_t)(low >> 24);
+    low <<= 8;
+  }
+  return o;
+}
+
+// ------------------------------------------------------------ bin/apm
+// Byte-level binary adaptive coder (bin.rs/apm.rs parity): bits MSB-first
+// through the shift-update model (optionally refined by the 33-cell APM
+// gate), carryless renorm — bit-exact vs tpuzip.codecs.bin_apm and the
+// Pallas bin coder kernel.
+namespace {
+struct ApmGateC {
+  int32_t cell[33];
+  void init() {
+    for (int i = 0; i < 33; ++i) {
+      int32_t v = (int32_t)(((int64_t)i << 12) / 32);
+      cell[i] = v < 1 ? 1 : (v > 4095 ? 4095 : v);
+    }
+  }
+  int last = 0;
+  int32_t pass(int32_t p0) {
+    int32_t scaled = p0 * 32;
+    int32_t idx = scaled >> 12;
+    if (idx > 31) idx = 31;
+    int32_t frac = scaled & 4095;
+    last = frac < 2048 ? idx : idx + 1;
+    int32_t p = (cell[idx] * (4096 - frac) + cell[idx + 1] * frac) >> 12;
+    return p < 1 ? 1 : (p > 4095 ? 4095 : p);
+  }
+  void update(int bit, int rate) {
+    int32_t p = cell[last];
+    p = bit == 0 ? p + ((4096 - p) >> rate) : p - (p >> rate);
+    cell[last] = p < 1 ? 1 : (p > 4095 ? 4095 : p);
+  }
+};
+
+inline int32_t bin_upd(int32_t p0, int bit, int bits, int rate) {
+  p0 = bit == 0 ? p0 + (((1 << bits) - p0) >> rate) : p0 - (p0 >> rate);
+  int32_t hi = (1 << bits) - 1;
+  return p0 < 1 ? 1 : (p0 > hi ? hi : p0);
+}
+}  // namespace
+
+int64_t tpz_bin_encode(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t cap, int bits, int rate, int use_apm,
+                       int apm_rate) {
+  uint32_t low = 0, range = 0xFFFFFFFFu;
+  int32_t p0 = 1 << (bits - 1);
+  ApmGateC gate;
+  gate.init();
+  int64_t o = 0;
+  for (int64_t i = 0; i < 8 * n; ++i) {
+    int bit = (src[i >> 3] >> (7 - (i & 7))) & 1;
+    uint32_t denom_bits, split;
+    if (use_apm) {
+      split = (uint32_t)gate.pass(p0);
+      denom_bits = 12;
+    } else {
+      split = (uint32_t)p0;
+      denom_bits = (uint32_t)bits;
+    }
+    uint32_t r = range >> denom_bits;
+    uint32_t cl = bit == 0 ? 0 : split;
+    uint32_t w = bit == 0 ? split : (1u << denom_bits) - split;
+    low += r * cl;
+    range = r * w;
+    for (;;) {
+      if (((low ^ (low + range)) < A_TOP)) {
+      } else if (range < A_BOT) {
+        range = (uint32_t)(-(int64_t)low) & (A_BOT - 1);
+      } else {
+        break;
+      }
+      if (o >= cap) return -1;
+      dst[o++] = (uint8_t)(low >> 24);
+      low <<= 8;
+      range <<= 8;
+    }
+    if (use_apm) gate.update(bit, apm_rate);
+    p0 = bin_upd(p0, bit, bits, rate);
+  }
+  for (int k = 0; k < 4; ++k) {
+    if (o >= cap) return -1;
+    dst[o++] = (uint8_t)(low >> 24);
+    low <<= 8;
+  }
+  return o;
+}
+
+int64_t tpz_bin_decode(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t num_bytes, int bits, int rate, int use_apm,
+                       int apm_rate) {
+  uint32_t low = 0, range = 0xFFFFFFFFu, code = 0;
+  int32_t p0 = 1 << (bits - 1);
+  ApmGateC gate;
+  gate.init();
+  int64_t i = 0;
+  for (int k = 0; k < 4; ++k) code = (code << 8) | (i < n ? src[i++] : 0);
+  for (int64_t t = 0; t < 8 * num_bytes; ++t) {
+    uint32_t denom_bits, split;
+    if (use_apm) {
+      split = (uint32_t)gate.pass(p0);
+      denom_bits = 12;
+    } else {
+      split = (uint32_t)p0;
+      denom_bits = (uint32_t)bits;
+    }
+    uint32_t r = range >> denom_bits;
+    uint32_t v = (code - low) / r;
+    uint32_t dmax = (1u << denom_bits) - 1;
+    if (v > dmax) v = dmax;
+    int bit = v >= split ? 1 : 0;
+    uint32_t cl = bit == 0 ? 0 : split;
+    uint32_t w = bit == 0 ? split : (1u << denom_bits) - split;
+    low += r * cl;
+    range = r * w;
+    for (;;) {
+      if (((low ^ (low + range)) < A_TOP)) {
+      } else if (range < A_BOT) {
+        range = (uint32_t)(-(int64_t)low) & (A_BOT - 1);
+      } else {
+        break;
+      }
+      code = (code << 8) | (i < n ? src[i++] : 0);
+      low <<= 8;
+      range <<= 8;
+    }
+    if (use_apm) gate.update(bit, apm_rate);
+    p0 = bin_upd(p0, bit, bits, rate);
+    if (bit) dst[t >> 3] |= (uint8_t)(1 << (7 - (t & 7)));
+  }
+  return num_bytes;
+}
+
 // ------------------------------------------------- threaded batch stages
 // Host codec stages over B independent blocks, fanned out across cores.
 // Matrix layouts are row-major with fixed row capacities; per-block
@@ -1739,6 +1912,49 @@ void rotation_order_sais(const uint8_t* data, int64_t n, int32_t* rot) {
 // batched lax.sort path handles at ~39 MB/s/chip; host SA-IS fans out
 // across cores.  Emits the last column and per-block origin, bit-exact vs
 // tpuzip.oracle.bwt.encode_block (incl. periodic ties).
+void tpz_ari_encode_indexed_batch(const uint8_t* src, int64_t b,
+                                  int64_t cap, const int32_t* lens,
+                                  uint8_t* dst, int64_t dcap,
+                                  int64_t* out_lens, int32_t* deltas,
+                                  int64_t nc, uint32_t increment,
+                                  uint32_t threshold, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_ari_encode_indexed(src + i * cap, lens[i],
+                                         dst + i * dcap, dcap, increment,
+                                         threshold, deltas + i * nc, nc);
+  });
+}
+
+void tpz_ari_decode_batch(const uint8_t* src, int64_t b, int64_t cap,
+                          const int32_t* lens, uint8_t* dst, int64_t dcap,
+                          const int32_t* num_syms, uint32_t increment,
+                          uint32_t threshold, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    tpz_ari_decode(src + i * cap, lens[i], dst + i * dcap, num_syms[i],
+                   increment, threshold);
+  });
+}
+
+void tpz_bin_encode_batch(const uint8_t* src, int64_t b, int64_t cap,
+                          const int32_t* lens, uint8_t* dst, int64_t dcap,
+                          int64_t* out_lens, int bits, int rate,
+                          int use_apm, int apm_rate, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_bin_encode(src + i * cap, lens[i], dst + i * dcap,
+                                 dcap, bits, rate, use_apm, apm_rate);
+  });
+}
+
+void tpz_bin_decode_batch(const uint8_t* src, int64_t b, int64_t cap,
+                          const int32_t* lens, uint8_t* dst, int64_t dcap,
+                          const int32_t* num_bytes, int bits, int rate,
+                          int use_apm, int apm_rate, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    tpz_bin_decode(src + i * cap, lens[i], dst + i * dcap, num_bytes[i],
+                   bits, rate, use_apm, apm_rate);
+  });
+}
+
 void tpz_bwt_forward_batch(const uint8_t* blocks, int64_t b, int64_t cap,
                            const int32_t* lens, uint8_t* L,
                            int32_t* origins, int nthreads) {

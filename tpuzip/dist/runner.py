@@ -183,6 +183,17 @@ def _ari_encode_indexed(blocks, lengths, increment: int = 8,
             clens[g : g + gb] = slens_np
             deltas[g : g + gb] = np.asarray(dts).T[:gb]
         return comp, clens, deltas
+    if _native_ok() and not isinstance(blocks, jax.core.Tracer):
+        # threaded C++ coder (off-TPU production path; bit-exact streams
+        # AND chunk indexes, so containers stay chip-interchangeable)
+        from tpuzip.runtime import native
+
+        nc = (n + cs - 1) // cs
+        comp, clens, deltas = native.ari_encode_indexed_batch(
+            np.asarray(jax.device_get(blocks)),
+            np.asarray(jax.device_get(lengths), np.int32), nc,
+            increment=increment, threshold=threshold)
+        return comp, clens, deltas
     comp, clens, counts = jax.jit(jax.vmap(
         lambda bb, ll: jari.encode_with_counts(
             bb, ll, increment=increment, threshold=threshold)))(
@@ -193,6 +204,12 @@ def _ari_encode_indexed(blocks, lengths, increment: int = 8,
         counts = np.pad(counts, ((0, 0), (0, pad)))
     deltas = counts.reshape(b, -1, cs).sum(axis=2).astype(np.int32)
     return np.asarray(comp), np.asarray(clens).astype(np.int64), deltas
+
+
+def native_dc_decode(syms, dlens, block_size):
+    from tpuzip.runtime import native
+
+    return native.dc_decode_batch(syms, dlens, block_size)
 
 
 def _native_ok() -> bool:
@@ -213,6 +230,12 @@ def _mtf_encode_auto(L, lengths, decode=False):
         from tpuzip.kernels import mtf_scan
 
         return mtf_scan.mtf_batch(L, decode=decode)
+    if _native_ok() and not isinstance(L, jax.core.Tracer):
+        from tpuzip.runtime import native
+
+        return jnp.asarray(native.mtf_batch(
+            np.asarray(jax.device_get(L)),
+            np.asarray(jax.device_get(lengths), np.int32), decode=decode))
     fn = jmtf.decode_batch if decode else jmtf.encode_batch
     return jax.jit(fn)(L, lengths)
 
@@ -341,6 +364,12 @@ def _decode_bwt_segmented(comp: np.ndarray, clens: np.ndarray,
                 streams[g : g + gb], deltas[g : g + gb],
                 jnp.array(seg_lens[g : g + gb]), seg,
                 increment=increment, threshold=threshold))
+    elif _native_ok():
+        from tpuzip.runtime import native
+
+        syms = native.ari_decode_batch_native(
+            streams, np.full(Bp * nseg, streams.shape[1], np.int32),
+            seg_lens, seg, increment=increment, threshold=threshold)
     else:
         syms = np.asarray(jax.jit(jax.vmap(
             lambda c, l: jari.decode(c, l, seg, increment=increment,
@@ -383,7 +412,15 @@ def _encode_ari_family(codec: str, jb, jl, lengths, increment: int = 8,
         heads = [struct.pack("<I", int(origins_np[i])) for i in range(B)]
     elif codec == "bwtdc":
         L, origins = jbwt.encode_batch_fast(jb, jl)
-        dcomp, dlens = jax.jit(jdc.encode_batch)(L, jl)
+        if jax.devices()[0].platform != "tpu" and _native_ok():
+            from tpuzip.runtime import native
+
+            dcomp, dl64 = native.dc_encode_batch(
+                np.asarray(jax.device_get(L)),
+                np.asarray(jax.device_get(jl), np.int32))
+            dlens = dl64
+        else:
+            dcomp, dlens = jax.jit(jdc.encode_batch)(L, jl)
         dlens_np = np.asarray(dlens).astype(np.int64)
         # bucket the ari width so the kernel does ~max(dlen) work, not the
         # 5x worst-case dc cap
@@ -465,6 +502,10 @@ def _decode_ari_family(codec: str, comp: np.ndarray, clens: np.ndarray,
     if jax.devices()[0].platform == "tpu":
         # lane-parallel Pallas run walk (kernels/dc_scan)
         L, _, errs = jdc.decode_batch_kernel(jsyms, jdl, block_size, ms)
+    elif _native_ok():
+        Lnp, got = native_dc_decode(np.asarray(jax.device_get(jsyms)),
+                                    dlens.astype(np.int32), block_size)
+        L, errs = jnp.asarray(Lnp), (got < 0).astype(np.int32)
     else:
         L, _, errs = jax.jit(jdc.decode_batch, static_argnums=(2, 3))(
             jsyms, jdl, block_size, ms)
@@ -527,6 +568,16 @@ def _ari_decode_indexed(comp: np.ndarray, clens: np.ndarray,
                 jnp.array(olens[g : g + gb].astype(np.int32)), block_size,
                 increment=increment, threshold=threshold))
         return out
+    if _native_ok():
+        from tpuzip.runtime import native
+
+        # the sequential C++ decoder stops after num_syms symbols; the row
+        # width is a safe byte bound (it zero-fills reads past the stream,
+        # which a valid stream never reaches)
+        slens = np.full(Bp, streams.shape[1], np.int32)
+        return native.ari_decode_batch_native(
+            streams, slens, np.asarray(olens, np.int32), block_size,
+            increment=increment, threshold=threshold)
     return np.asarray(jax.jit(jax.vmap(
         lambda c, l: jari.decode(c, l, block_size, increment=increment,
                                  threshold=threshold)))(
@@ -603,6 +654,13 @@ def _bin_encode_auto(blocks, lengths, model_bits: int, rate: int,
                 clens[g + k] = len(s)
                 comp_np[g + k, : len(s)] = np.frombuffer(s, np.uint8)
         return comp_np, clens
+    if _native_ok():
+        from tpuzip.runtime import native
+
+        return native.bin_encode_batch_native(
+            np.asarray(jax.device_get(blocks)),
+            np.asarray(jax.device_get(lengths), np.int32),
+            bits=model_bits, rate=rate, use_apm=use_apm)
     comp, clens = jax.jit(jbin.encode_batch, static_argnums=(2, 3, 4))(
         jnp.asarray(blocks), jnp.asarray(lengths), model_bits, rate, use_apm)
     return np.asarray(comp), np.asarray(clens).astype(np.int64)
@@ -938,11 +996,21 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         from tpuzip.codecs import bin_apm as jbin
 
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
-            out = jax.jit(jbin.decode_batch, static_argnums=(2, 3, 4, 5))(
-                jc, jax.device_put(jnp.array(olens.astype(np.int32)),
-                                   lsharding),
-                block_size, inc, thr, codec == "apm")
-            out_np = np.asarray(out)
+            if jax.devices()[0].platform != "tpu" and _native_ok():
+                from tpuzip.runtime import native
+
+                out_np = native.bin_decode_batch_native(
+                    comp, clens.astype(np.int32),
+                    olens.astype(np.int32), block_size, bits=inc,
+                    rate=thr, use_apm=(codec == "apm"))
+                out = out_np
+            else:
+                out = jax.jit(jbin.decode_batch,
+                              static_argnums=(2, 3, 4, 5))(
+                    jc, jax.device_put(jnp.array(olens.astype(np.int32)),
+                                       lsharding),
+                    block_size, inc, thr, codec == "apm")
+                out_np = np.asarray(out)
         errs = np.zeros(B)
     elif codec == "deflate":
         from tpuzip.codecs import deflate as jdef

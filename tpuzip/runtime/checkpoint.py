@@ -84,6 +84,15 @@ def run_job(data: bytes, workdir: str, codec: str = "lz4",
                        total_blocks=B, orig_len=len(data))
         man.save()
 
+    native = None
+    if codec in ("lz4", "rle", "deflate"):
+        try:
+            from tpuzip.runtime import native as _native
+
+            if _native.available():
+                native = _native
+        except Exception:
+            native = None
     enc, _ = _ENCODERS[codec]
     enc_jit = jax.jit(enc)
     injected = set(fail_batches or ())
@@ -99,9 +108,21 @@ def run_job(data: bytes, workdir: str, codec: str = "lz4",
         if pad:
             bb = np.concatenate([bb, np.zeros((pad, block_size), np.uint8)])
             ll = np.concatenate([ll, np.zeros(pad, np.int32)])
-        comp, clens = enc_jit(jnp.array(bb), jnp.array(ll))
-        comp_np = np.asarray(comp)
-        clens_np = np.asarray(clens)[: end - start]
+        if native is not None:
+            # production threaded host encoders (same ones runner.compress
+            # uses); per-block outputs stay deterministic, so resume
+            # remains bitwise-identical
+            if codec == "lz4":
+                comp_np, clens_np = native.lz4_compress_batch(bb, ll)
+            elif codec == "rle":
+                comp_np, clens_np = native.rle_encode_batch(bb, ll)
+            else:
+                comp_np, clens_np = native.deflate_batch_native(bb, ll)
+            clens_np = clens_np[: end - start]
+        else:
+            comp, clens = enc_jit(jnp.array(bb), jnp.array(ll))
+            comp_np = np.asarray(comp)
+            clens_np = np.asarray(clens)[: end - start]
         with open(os.path.join(workdir, f"part_{start:08d}.bin"), "wb") as f:
             for i in range(end - start):
                 f.write(comp_np[i, : int(clens_np[i])].tobytes())

@@ -88,6 +88,21 @@ def get_lib():
     lib.tpz_lz4_decode_wplan8_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                 i64, u8p, i64, i64, i64p,
                                                 i64p, c_int]
+    lib.tpz_ari_encode_indexed_batch.restype = None
+    lib.tpz_ari_encode_indexed_batch.argtypes = [u8p, i64, i64, i32p, u8p,
+                                                 i64, i64p, i32p, i64, u32,
+                                                 u32, c_int]
+    lib.tpz_ari_decode_batch.restype = None
+    lib.tpz_ari_decode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                         i32p, u32, u32, c_int]
+    lib.tpz_bin_encode_batch.restype = None
+    lib.tpz_bin_encode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                         i64p, c_int, c_int, c_int, c_int,
+                                         c_int]
+    lib.tpz_bin_decode_batch.restype = None
+    lib.tpz_bin_decode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                         i32p, c_int, c_int, c_int, c_int,
+                                         c_int]
     lib.tpz_mtf_batch.restype = None
     lib.tpz_mtf_batch.argtypes = [u8p, i64, i64, i32p, u8p, c_int, c_int]
     lib.tpz_dc_encode_batch.restype = None
@@ -414,6 +429,85 @@ def inflate_plan_batch(comp: np.ndarray, clens: np.ndarray, out_cap: int,
     if (out < 0).any():
         raise ValueError("inflate_plan_batch failed (corrupt stream)")
     return plans, lits, out, nlits
+
+
+def ari_encode_indexed_batch(blocks: np.ndarray, lengths: np.ndarray,
+                             nc: int, increment: int = 8,
+                             threshold: int = 1 << 13, nthreads: int = 0):
+    """Threaded adaptive-ari encode with the fast-decode chunk index
+    (bit-exact streams AND deltas vs the Pallas kernel / XLA scan).
+    Returns (comp (B, dcap) u8, clens (B,) i64, deltas (B, nc) i32)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, cap = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dcap = 2 * cap + 64
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    deltas = np.zeros((b, nc), np.int32)
+    lib.tpz_ari_encode_indexed_batch(
+        _u8(blocks), b, cap, _i32(lens), _u8(dst), dcap, _i64(out),
+        deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nc,
+        increment, threshold, nthreads)
+    if (out < 0).any():
+        raise ValueError("ari_encode_indexed_batch failed")
+    return dst, out, deltas
+
+
+def ari_decode_batch_native(comp: np.ndarray, clens: np.ndarray,
+                            num_syms: np.ndarray, out_cap: int,
+                            increment: int = 8, threshold: int = 1 << 13,
+                            nthreads: int = 0) -> np.ndarray:
+    """Threaded adaptive-ari decode (sequential per block; the chunk
+    index is a device-side acceleration and is not needed here)."""
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, cap = comp.shape
+    lens = _contig(clens, np.int32)
+    ns = _contig(num_syms, np.int32)
+    dst = np.zeros((b, out_cap), np.uint8)
+    lib.tpz_ari_decode_batch(_u8(comp), b, cap, _i32(lens), _u8(dst),
+                             out_cap, _i32(ns), increment, threshold,
+                             nthreads)
+    return dst
+
+
+def bin_encode_batch_native(blocks: np.ndarray, lengths: np.ndarray,
+                            bits: int = 12, rate: int = 5,
+                            use_apm: bool = False, apm_rate: int = 5,
+                            nthreads: int = 0):
+    """Threaded byte-level bin/apm encode (MSB-first bits; bit-exact vs
+    codecs.bin_apm / the Pallas bin coder).  Returns (comp, clens)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, cap = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dcap = 4 * cap + 64
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_bin_encode_batch(_u8(blocks), b, cap, _i32(lens), _u8(dst),
+                             dcap, _i64(out), bits, rate,
+                             1 if use_apm else 0, apm_rate, nthreads)
+    if (out < 0).any():
+        raise ValueError("bin_encode_batch failed")
+    return dst, out
+
+
+def bin_decode_batch_native(comp: np.ndarray, clens: np.ndarray,
+                            num_bytes: np.ndarray, out_cap: int,
+                            bits: int = 12, rate: int = 5,
+                            use_apm: bool = False, apm_rate: int = 5,
+                            nthreads: int = 0) -> np.ndarray:
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, cap = comp.shape
+    lens = _contig(clens, np.int32)
+    nb = _contig(num_bytes, np.int32)
+    dst = np.zeros((b, out_cap), np.uint8)
+    lib.tpz_bin_decode_batch(_u8(comp), b, cap, _i32(lens), _u8(dst),
+                             out_cap, _i32(nb), bits, rate,
+                             1 if use_apm else 0, apm_rate, nthreads)
+    return dst
 
 
 def mtf_batch(blocks: np.ndarray, lengths: np.ndarray,
