@@ -1,4 +1,4 @@
-"""A/B: LZ4 device gather — word plan (4 B/row) vs dword plan (8 B/row).
+"""A/B: LZ4 device gather — word plan (4 B/row) vs dword (8) vs quad (16).
 
 Run on the real chip once the relay is up; flip runner.LZ4_DECODE_PLAN to
 "wplan8" if the halved-row gather wins (expected ~350-400 vs 230 MB/s).
@@ -57,3 +57,23 @@ assert o8[B - 1].tobytes() == blocks[B - 1].tobytes()
 print(json.dumps({"plan": "wplan8", "gather_MBps": round(B * N / s8 / 1e6, 1),
                   "patch_frac": round(float(u8_.sum()) / (B * N), 3)}),
       flush=True)
+
+# quad-word plan (16 B/row — quarter the rows; round-3 candidate)
+w16, p16, st16, u16_ = native.lz4_decode_wplan16_batch(
+    cpad, clens.astype(np.int32), N)
+j16 = (jnp.array(cpad), jnp.array(p16), jnp.array(w16),
+       jnp.full(B, N, jnp.int32))
+g16 = jax.jit(lambda c, p, w, o: jnp.sum(
+    jlz4._gather_wplan16(c, p, w, o)[:4, :4].astype(jnp.int32)))
+int(g16(*j16))
+s16 = timed(lambda: int(g16(*j16)))
+o16 = np.asarray(jlz4._gather_wplan16(*j16))
+assert o16[0].tobytes() == blocks[0].tobytes()
+assert o16[B - 1].tobytes() == blocks[B - 1].tobytes()
+print(json.dumps({"plan": "wplan16",
+                  "gather_MBps": round(B * N / s16 / 1e6, 1),
+                  "patch_frac": round(float(u16_.sum()) / (B * N), 3)}),
+      flush=True)
+
+# wider batch sweep at the winning granularity would go here after the
+# first chip read (B=256/512 amortize the gather's fixed cost further)

@@ -459,6 +459,69 @@ int64_t tpz_lz4_decode_wplan8(const uint8_t* src, int64_t n, int32_t* wplan,
   return o;
 }
 
+// LZ4 decode QUAD-word plan: one i32 address per SIXTEEN output bytes —
+// quarter the gather rows of tpz_lz4_decode_wplan.  The device fetches
+// five adjacent u32 table words covering bytes addr..addr+19 and
+// funnel-shifts four output words.  Non-contiguous quads go to `patch`
+// (16-byte entries).  Returns decoded length, -1 corrupt, -2 overflow.
+int64_t tpz_lz4_decode_wplan16(const uint8_t* src, int64_t n,
+                               int32_t* wplan, uint8_t* patch, int64_t cap,
+                               int64_t patch_cap, int64_t* patch_used) {
+  std::vector<int32_t> bplan((size_t)cap);
+  int64_t o = tpz_lz4_decode_plan(src, n, bplan.data(), cap);
+  if (o < 0) return o;
+  int64_t pu = 0;
+  int64_t quads = (o + 15) >> 4;
+  for (int64_t w = 0; w < quads; ++w) {
+    int64_t b0 = w << 4;
+    int32_t p0 = bplan[(size_t)b0];
+    bool contig = b0 + 15 < o;
+    for (int64_t k = 1; contig && k < 16; ++k)
+      contig = bplan[(size_t)(b0 + k)] == p0 + k;
+    if (contig) {
+      wplan[w] = p0;
+    } else {
+      if (pu + 16 > patch_cap) return -2;
+      for (int64_t k = 0; k < 16; ++k)
+        patch[pu + k] = (b0 + k < o) ? src[bplan[(size_t)(b0 + k)]] : 0;
+      wplan[w] = (int32_t)(-(pu + 1));
+      pu += 16;
+    }
+  }
+  *patch_used = pu;
+  return o;
+}
+
+// Threaded full LZ4 host decode (production path when the output lands on
+// the host anyway — same migration rule as rle/deflate/bwt-inverse; the
+// device copy plans remain the decode-into-device-memory serving path and
+// the TPU formulation cross-check).
+void tpz_lz4_decompress_batch(const uint8_t* src, int64_t b, int64_t scap,
+                              const int32_t* slens, uint8_t* dst,
+                              int64_t dcap, int64_t* out_lens,
+                              int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_lz4_decompress(src + i * scap, slens[i],
+                                     dst + i * dcap, dcap);
+  });
+}
+
+void tpz_lz4_decode_wplan16_batch(const uint8_t* src, int64_t b,
+                                  int64_t scap, const int32_t* slens,
+                                  int32_t* wplans, int64_t nw,
+                                  uint8_t* patches, int64_t patch_cap,
+                                  int64_t out_cap, int64_t* out_lens,
+                                  int64_t* patch_used, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    int64_t pu = 0;
+    out_lens[i] = tpz_lz4_decode_wplan16(src + i * scap, slens[i],
+                                         wplans + i * nw,
+                                         patches + i * patch_cap, out_cap,
+                                         patch_cap, &pu);
+    patch_used[i] = pu;
+  });
+}
+
 void tpz_lz4_decode_wplan8_batch(const uint8_t* src, int64_t b,
                                  int64_t scap, const int32_t* slens,
                                  int32_t* wplans, int64_t nw,

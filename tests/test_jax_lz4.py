@@ -152,3 +152,37 @@ def test_decode_batch_wplanned8(rng):
     bad[2, : int(clens[2])] = 0xFF
     _, _, e2 = jlz4.decode_batch_wplanned8(bad, clens, N)
     assert np.asarray(e2)[2] == 1 and not np.asarray(e2)[0]
+
+
+def test_wplan16_decode_matches_and_isolates(rng):
+    """Quad-word plan decode (16 B/gather-row): bit-exact on text/random/
+    runs, ragged lengths, and corrupt streams isolate per block."""
+    import numpy as np
+
+    from tpuzip.codecs import lz4 as jlz4
+    from tpuzip.oracle import lz4 as olz4
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    N = 4096
+    text = (open("/root/repo/SURVEY.md", "rb").read() * 2)
+    blocks = [text[:N], rng.integers(0, 256, N, dtype=np.uint8).tobytes(),
+              bytes(N), text[N : N + 1777]]
+    comp = [olz4.compress_block(bk) for bk in blocks]
+    cap = max(len(c) for c in comp) + 8
+    rows = np.zeros((4, cap), np.uint8)
+    lens = np.zeros(4, np.int32)
+    for i, c in enumerate(comp):
+        rows[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    out, olens, errs = jlz4.decode_batch_wplanned16(rows, lens, N)
+    assert not np.asarray(errs).any()
+    for i, bk in enumerate(blocks):
+        got = np.asarray(out)[i, : int(np.asarray(olens)[i])].tobytes()
+        assert got == bk, i
+    bad_lens = lens.copy()
+    bad_lens[2] = max(int(lens[2]) - 3, 1)  # truncated stream must fail
+    out, olens, errs = jlz4.decode_batch_wplanned16(rows, bad_lens, N)
+    errs = np.asarray(errs)
+    assert errs[2] == 1 and errs[[0, 1, 3]].sum() == 0

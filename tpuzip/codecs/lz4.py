@@ -397,6 +397,62 @@ def _gather_wplan8(comp, patches, wplans, olens):
     return jnp.where(mask, out, 0).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _gather_wplan16(comp, patches, wplans, olens):
+    """Quad-word-plan decode executor: one address per SIXTEEN output
+    bytes — fetch the five adjacent u32 words of the virtual table
+    [comp row | patch row] covering bytes addr..addr+19 and funnel-shift
+    four output words.  QUARTER the gather rows of _gather_wplan per
+    output byte (the v5e gather unit is row-count bound)."""
+    b, cap = comp.shape
+    nw = wplans.shape[1]
+    vt = jnp.concatenate([comp, patches], axis=1)
+    wv = vt.shape[1] // 4
+    vtw = jax.lax.bitcast_convert_type(
+        vt.reshape(b, wv, 4), jnp.uint32)                   # little-endian
+    quint = jnp.stack([vtw] + [jnp.roll(vtw, -k, axis=1)
+                               for k in range(1, 5)], axis=-1)  # (b, wv, 5)
+    addr = jnp.where(wplans >= 0, wplans, cap + (-wplans - 1))
+    a0 = (addr >> 2) + (jnp.arange(b, dtype=jnp.int32) * wv)[:, None]
+    q = jnp.take(quint.reshape(-1, 5), a0.reshape(-1), axis=0)
+    sh = ((addr & 3) << 3).reshape(-1).astype(jnp.uint32)
+    inv = (32 - sh) & 31
+    outs = [jnp.where(sh == 0, q[:, k],
+                      (q[:, k] >> sh) | (q[:, k + 1] << inv))
+            for k in range(4)]
+    out = jax.lax.bitcast_convert_type(
+        jnp.stack(outs, axis=-1).reshape(b, nw, 4, 1),
+        jnp.uint8).reshape(b, nw * 16)
+    mask = jnp.arange(nw * 16, dtype=jnp.int32)[None, :] < olens[:, None]
+    return jnp.where(mask, out, 0).astype(jnp.uint8)
+
+
+def decode_batch_wplanned16(comp_np, clens_np, out_n: int):
+    """Quad-word-plan variant of decode_batch_wplanned: one gather row per
+    SIXTEEN output bytes (csrc tpz_lz4_decode_wplan16_batch).  Falls back
+    to the word plan when out_n isn't 16-aligned, to the byte plan on
+    patch overflow."""
+    import numpy as np
+
+    from tpuzip.runtime import native
+
+    comp_np = np.asarray(comp_np)
+    clens_np = np.asarray(clens_np)
+    if out_n % 16:
+        return decode_batch_wplanned(comp_np, clens_np, out_n)
+    if comp_np.shape[1] % 4:
+        comp_np = np.pad(comp_np, ((0, 0), (0, 4 - comp_np.shape[1] % 4)))
+    wplans, patches, st, _used = native.lz4_decode_wplan16_batch(
+        comp_np, clens_np.astype(np.int32), out_n, strict=False)
+    if (st == -2).any():
+        return decode_batch_planned(comp_np, clens_np, out_n)
+    errs = (st == -1).astype(np.int32)
+    olens = np.where(st > 0, st, 0).astype(np.int32)
+    out = _gather_wplan16(jnp.asarray(comp_np), jnp.asarray(patches),
+                          jnp.asarray(wplans), jnp.asarray(olens))
+    return out, jnp.asarray(olens), jnp.asarray(errs)
+
+
 def decode_batch_wplanned8(comp_np, clens_np, out_n: int):
     """Dword-plan variant of decode_batch_wplanned: one gather row per
     EIGHT output bytes (csrc tpz_lz4_decode_wplan8_batch).  Falls back to

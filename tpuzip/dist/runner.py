@@ -34,8 +34,9 @@ from tpuzip.runtime.errors import (BlockLengthError, ChecksumError,
                                    CorruptStreamError, HeaderError)
 
 MAGIC = b"TPZ1"
-# LZ4 planned-decode granularity: "wplan" (4 B/gather-row) or "wplan8"
-# (8 B/row — half the rows).  Runtime choice, not container format.
+# LZ4 planned-decode granularity: "wplan" (4 B/gather-row), "wplan8"
+# (8 B/row) or "wplan16" (16 B/row — quarter the rows).  Runtime choice,
+# not container format; bench/wplan_ab.py picks on measurement.
 LZ4_DECODE_PLAN = "wplan"
 
 
@@ -1075,6 +1076,17 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 errs = (st < 0).astype(np.int32)
                 olens_dev = np.where(st > 0, st, 0)
                 out = out_np
+            elif planned and not to_device:
+                # the output lands on the host: threaded full C++ decode
+                # (same migration rule as rle/deflate/bwt-inverse — on this
+                # corpus the copy plans materialize 50-99% of bytes as
+                # host-built patches anyway).  The device copy-plan path
+                # below stays the decode-into-device-memory serving path.
+                out_np, st = native.lz4_decompress_batch(
+                    comp, clens.astype(np.int32), block_size)
+                errs = (st < 0).astype(np.int32)
+                olens_dev = np.where(st > 0, st, 0)
+                out = out_np
             elif planned:
                 # host-parse/device-copy-plan path: C++ token parse, bulk
                 # device gathers (VERDICT r1 item 3).  LZ4_DECODE_PLAN
@@ -1082,9 +1094,9 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 # per 4 output bytes (measured default), "wplan8" = one
                 # per 8 (half the rows; flip the default if the on-chip
                 # A/B confirms the win)
-                fn = (jlz4.decode_batch_wplanned8
-                      if LZ4_DECODE_PLAN == "wplan8"
-                      else jlz4.decode_batch_wplanned)
+                fn = {"wplan8": jlz4.decode_batch_wplanned8,
+                      "wplan16": jlz4.decode_batch_wplanned16,
+                      }.get(LZ4_DECODE_PLAN, jlz4.decode_batch_wplanned)
                 out, olens_dev, errs = fn(comp, clens, block_size)
             else:
                 out, olens_dev, errs = jax.jit(

@@ -88,6 +88,13 @@ def get_lib():
     lib.tpz_lz4_decode_wplan8_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                 i64, u8p, i64, i64, i64p,
                                                 i64p, c_int]
+    lib.tpz_lz4_decompress_batch.restype = None
+    lib.tpz_lz4_decompress_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                             i64p, c_int]
+    lib.tpz_lz4_decode_wplan16_batch.restype = None
+    lib.tpz_lz4_decode_wplan16_batch.argtypes = [u8p, i64, i64, i32p, i32p,
+                                                 i64, u8p, i64, i64, i64p,
+                                                 i64p, c_int]
     lib.tpz_ari_encode_indexed_batch.restype = None
     lib.tpz_ari_encode_indexed_batch.argtypes = [u8p, i64, i64, i32p, u8p,
                                                  i64, i64p, i32p, i64, u32,
@@ -337,6 +344,50 @@ def lz4_decode_wplan8_batch(comp: np.ndarray, clens: np.ndarray,
             raise OverflowError("wplan8 patch budget exceeded")
         if (out < 0).any():
             raise ValueError("wplan8 failed (corrupt stream)")
+    return wplans, patches, out, used
+
+
+def lz4_decompress_batch(comp: np.ndarray, clens: np.ndarray,
+                         out_cap: int, nthreads: int = 0):
+    """Threaded full LZ4 decode over B rows.  Returns (out (B, out_cap)
+    u8, stat (B,) i64 — decoded length, negative on corrupt streams)."""
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, scap = comp.shape
+    lens = _contig(clens, np.int32)
+    dst = np.zeros((b, out_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_lz4_decompress_batch(_u8(comp), b, scap, _i32(lens), _u8(dst),
+                                 out_cap, _i64(out), nthreads)
+    return dst, out
+
+
+def lz4_decode_wplan16_batch(comp: np.ndarray, clens: np.ndarray,
+                             out_cap: int, patch_cap: int | None = None,
+                             nthreads: int = 0, strict: bool = True):
+    """Quad-word (16-byte) LZ4 copy plans in parallel: quarter the device
+    gather rows of lz4_decode_wplan_batch.  Same contract/statuses."""
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, scap = comp.shape
+    lens = _contig(clens, np.int32)
+    if patch_cap is None:
+        patch_cap = 2 * out_cap + 64  # 16B quads patch more often than 8B
+    patch_cap = (patch_cap + 15) & ~15
+    nw = max((out_cap + 15) // 16, 1)
+    wplans = np.zeros((b, nw), np.int32)
+    patches = np.zeros((b, patch_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    used = np.zeros(b, np.int64)
+    lib.tpz_lz4_decode_wplan16_batch(_u8(comp), b, scap, _i32(lens),
+                                     _i32(wplans), nw, _u8(patches),
+                                     patch_cap, out_cap, _i64(out),
+                                     _i64(used), nthreads)
+    if strict:
+        if (out == -2).any():
+            raise OverflowError("wplan16 patch budget exceeded")
+        if (out < 0).any():
+            raise ValueError("wplan16 failed (corrupt stream)")
     return wplans, patches, out, used
 
 
