@@ -209,6 +209,136 @@ int64_t tpz_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
   return o;
 }
 
+// lz4p: parallel-decodable columnar LZ (tpz-native; codecs/lz4p.py is the
+// format owner).  Same greedy single-probe parse as tpz_lz4_compress,
+// serialized as [S u32][orig u32][lit_lens u16 xS][mlens u16 xS]
+// [offsets u16 xS][literals].  Decode is a sequential reconstruction at
+// host speed (the device decoder resolves match rounds in parallel).
+int64_t tpz_lz4p_encode(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t cap, int hash_log) {
+  const int HASH_LOG = (hash_log >= 4 && hash_log <= 24) ? hash_log : 16;
+  const int64_t MFLIMIT = 12, LASTLIT = 5;
+  std::vector<uint16_t> lit_lens, mlens, offs;
+  std::vector<int64_t> lit_starts;
+  std::vector<int64_t> table((size_t)1 << HASH_LOG, -1);
+  int64_t anchor = 0, i = 0;
+  int64_t limit = n - MFLIMIT > 0 ? n - MFLIMIT : 0;
+  auto push_seq = [&](int64_t lit0, int64_t lit, int64_t ml, int64_t off) {
+    // u16 columns: split long runs into 65535-byte pieces with ml=0
+    while (lit > 0xFFFF) {
+      lit_starts.push_back(lit0);
+      lit_lens.push_back(0xFFFF);
+      mlens.push_back(0);
+      offs.push_back(0);
+      lit0 += 0xFFFF;
+      lit -= 0xFFFF;
+    }
+    lit_starts.push_back(lit0);
+    lit_lens.push_back((uint16_t)lit);
+    while (ml > 0xFFFF) {
+      mlens.push_back(0xFFFF);
+      offs.push_back((uint16_t)off);
+      lit_starts.push_back(lit0 + lit);
+      lit_lens.push_back(0);
+      ml -= 0xFFFF;
+    }
+    mlens.push_back((uint16_t)ml);
+    offs.push_back((uint16_t)(ml ? off : 0));
+  };
+  while (i < limit) {
+    uint32_t seq;
+    memcpy(&seq, src + i, 4);
+    uint32_t h = (seq * 2654435761u) >> (32 - HASH_LOG);
+    int64_t cand = table[h];
+    table[h] = i;
+    if (cand >= 0 && i - cand <= 0xFFFF &&
+        memcmp(src + cand, src + i, 4) == 0) {
+      int64_t m = i + 4, c = cand + 4, end = n - LASTLIT;
+      while (m < end && src[m] == src[c]) {
+        ++m;
+        ++c;
+      }
+      push_seq(anchor, i - anchor, m - i, i - cand);
+      i = m;
+      anchor = m;
+    } else {
+      ++i;
+    }
+  }
+  if (n > anchor || lit_lens.empty())
+    push_seq(anchor, n - anchor, 0, 0);
+  int64_t S = (int64_t)lit_lens.size();
+  int64_t total_lit = 0;
+  for (uint16_t l : lit_lens) total_lit += l;
+  int64_t need = 8 + 6 * S + total_lit;
+  if (need > cap) return -1;
+  uint32_t s32 = (uint32_t)S, o32 = (uint32_t)n;
+  memcpy(dst, &s32, 4);
+  memcpy(dst + 4, &o32, 4);
+  uint8_t* p = dst + 8;
+  memcpy(p, lit_lens.data(), (size_t)(2 * S));
+  p += 2 * S;
+  memcpy(p, mlens.data(), (size_t)(2 * S));
+  p += 2 * S;
+  memcpy(p, offs.data(), (size_t)(2 * S));
+  p += 2 * S;
+  for (int64_t t = 0; t < S; ++t) {
+    memcpy(p, src + lit_starts[(size_t)t], lit_lens[(size_t)t]);
+    p += lit_lens[(size_t)t];
+  }
+  return need;
+}
+
+int64_t tpz_lz4p_decode(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t cap) {
+  if (n < 8) return -1;
+  uint32_t S, on;
+  memcpy(&S, src, 4);
+  memcpy(&on, src + 4, 4);
+  if ((int64_t)on > cap || 8 + 6 * (int64_t)S > n) return -1;
+  const uint16_t* ll = (const uint16_t*)(src + 8);
+  const uint16_t* ml = (const uint16_t*)(src + 8 + 2 * (int64_t)S);
+  const uint16_t* of = (const uint16_t*)(src + 8 + 4 * (int64_t)S);
+  const uint8_t* lit = src + 8 + 6 * (int64_t)S;
+  const uint8_t* lit_end = src + n;
+  int64_t o = 0;
+  for (uint32_t t = 0; t < S; ++t) {
+    int64_t l = ll[t];
+    if (lit + l > lit_end || o + l > (int64_t)on) return -1;
+    memcpy(dst + o, lit, (size_t)l);
+    lit += l;
+    o += l;
+    int64_t m = ml[t];
+    if (m) {
+      int64_t off = of[t];
+      if (off == 0 || off > o || o + m > (int64_t)on) return -1;
+      int64_t s = o - off;
+      for (int64_t k = 0; k < m; ++k) dst[o + k] = dst[s + k];
+      o += m;
+    }
+  }
+  if (o != (int64_t)on) return -1;
+  return o;
+}
+
+void tpz_lz4p_encode_batch(const uint8_t* src, int64_t b, int64_t n,
+                           const int32_t* lens, uint8_t* dst, int64_t dcap,
+                           int64_t* out_lens, int hash_log, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_lz4p_encode(src + i * n, lens[i], dst + i * dcap,
+                                  dcap, hash_log);
+  });
+}
+
+void tpz_lz4p_decode_batch(const uint8_t* src, int64_t b, int64_t scap,
+                           const int32_t* slens, uint8_t* dst, int64_t dcap,
+                           int64_t* out_lens, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_lz4p_decode(src + i * scap, slens[i], dst + i * dcap,
+                                  dcap);
+  });
+}
+
 // Chained-match LZ4 encoder: same block format, greedy policy upgraded to
 // best-of-chain (depth max_chain) — strictly denser matches than the
 // single-probe reference policy, so compressed size only shrinks ("improve

@@ -76,3 +76,47 @@ def test_lz4p_corrupt_flags():
     carr[4] ^= 0x7F  # clobber orig_len header
     out, olen, err = lz4p.decode(jnp.array(carr), clen, N)
     assert int(err) == 1
+
+
+def test_lz4p_native_host_stage_interchange(rng):
+    """Threaded C++ lz4p encode/decode: round-trips, interchanges with the
+    device formulation in BOTH directions, and isolates corrupt blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    N = 8192
+    text = (open("/root/repo/SURVEY.md", "rb").read() * 2)
+    rows = np.zeros((3, N), np.uint8)
+    rows[0] = np.frombuffer(text[:N], np.uint8)
+    rows[1] = rng.integers(0, 256, N, dtype=np.uint8)
+    lens = np.array([N, N, 3000], np.int32)
+    rows[2, :3000] = np.frombuffer(text[N : N + 3000], np.uint8)
+    comp, cl = native.lz4p_encode_batch(rows, lens)
+    out, st = native.lz4p_decode_batch_native(comp, cl.astype(np.int32), N)
+    for i in range(3):
+        assert st[i] == lens[i]
+        assert out[i, : lens[i]].tobytes() == rows[i, : lens[i]].tobytes()
+    # native streams decode on the device formulation...
+    dout, _, derr = jax.jit(lz4p.decode_batch, static_argnums=2)(
+        jnp.array(comp[:, : int(cl.max()) + 8]),
+        jnp.array(cl.astype(np.int32)), N)
+    assert not np.asarray(derr).any()
+    for i in range(3):
+        assert np.asarray(dout)[i, : lens[i]].tobytes() == \
+            rows[i, : lens[i]].tobytes()
+    # ...and device streams decode natively
+    denc, dcl = jax.jit(lz4p.encode_batch)(jnp.array(rows), jnp.array(lens))
+    out2, st2 = native.lz4p_decode_batch_native(
+        np.asarray(denc), np.asarray(dcl, np.int32), N)
+    for i in range(3):
+        assert st2[i] == lens[i]
+        assert out2[i, : lens[i]].tobytes() == rows[i, : lens[i]].tobytes()
+    # truncated stream -> negative status for that block only
+    bad = cl.astype(np.int32).copy()
+    bad[0] = 7
+    _, st3 = native.lz4p_decode_batch_native(comp, bad, N)
+    assert st3[0] < 0 and st3[1] == lens[1] and st3[2] == lens[2]

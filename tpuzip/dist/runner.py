@@ -779,6 +779,19 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         with metrics.phase("assemble"):
             payload = b"".join(
                 comp_np[i, : clens_np[i]].tobytes() for i in range(B))
+    elif codec == "lz4p" and _native_ok() \
+            and not config.codec.lz4.device_encode:
+        # threaded columnar-LZ host encoder (same greedy single-probe
+        # parse family as the device formulation; format-interchangeable)
+        from tpuzip.runtime import native
+
+        with metrics.phase("encode", bytes_in=len(data), blocks=B):
+            comp_np, cl64 = native.lz4p_encode_batch(
+                blocks, lengths, hash_log=config.codec.lz4.hash_log)
+        with metrics.phase("assemble"):
+            clens_np = cl64.astype(np.int64)
+            payload = native.pack_payloads(
+                comp_np, clens_np.astype(np.int32))
     elif codec == "rle" and _native_ok():
         # threaded host encoder (RLE byte loops are the host's home turf;
         # the XLA segment encoder stays the device formulation/cross-check)
@@ -1072,6 +1085,14 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 # threaded host decode (byte loops are the host's home
                 # turf; per-block status keeps corruption isolation)
                 out_np, st = native.rle_decode_batch(
+                    comp, clens.astype(np.int32), block_size)
+                errs = (st < 0).astype(np.int32)
+                olens_dev = np.where(st > 0, st, 0)
+                out = out_np
+            elif codec == "lz4p" and not to_device and _native_ok():
+                from tpuzip.runtime import native
+
+                out_np, st = native.lz4p_decode_batch_native(
                     comp, clens.astype(np.int32), block_size)
                 errs = (st < 0).astype(np.int32)
                 olens_dev = np.where(st > 0, st, 0)

@@ -88,6 +88,12 @@ def get_lib():
     lib.tpz_lz4_decode_wplan8_batch.argtypes = [u8p, i64, i64, i32p, i32p,
                                                 i64, u8p, i64, i64, i64p,
                                                 i64p, c_int]
+    lib.tpz_lz4p_encode_batch.restype = None
+    lib.tpz_lz4p_encode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                          i64p, c_int, c_int]
+    lib.tpz_lz4p_decode_batch.restype = None
+    lib.tpz_lz4p_decode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
+                                          i64p, c_int]
     lib.tpz_lz4_decompress_batch.restype = None
     lib.tpz_lz4_decompress_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
                                              i64p, c_int]
@@ -345,6 +351,39 @@ def lz4_decode_wplan8_batch(comp: np.ndarray, clens: np.ndarray,
         if (out < 0).any():
             raise ValueError("wplan8 failed (corrupt stream)")
     return wplans, patches, out, used
+
+
+def lz4p_encode_batch(blocks: np.ndarray, lengths: np.ndarray,
+                      nthreads: int = 0, hash_log: int = 16):
+    """Threaded columnar-LZ encode (codecs/lz4p format; greedy
+    single-probe parse).  Returns (comp (B, dcap) u8, clens (B,) i64)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, n = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dcap = 8 + 6 * (n // 4 + 2) + n + 64
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_lz4p_encode_batch(_u8(blocks), b, n, _i32(lens), _u8(dst),
+                              dcap, _i64(out), hash_log, nthreads)
+    if (out < 0).any():
+        raise ValueError("lz4p_encode_batch failed")
+    return dst, out
+
+
+def lz4p_decode_batch_native(comp: np.ndarray, clens: np.ndarray,
+                             out_cap: int, nthreads: int = 0):
+    """Threaded columnar-LZ decode.  Returns (out (B, out_cap) u8,
+    stat (B,) i64 — decoded length, negative on corrupt streams)."""
+    lib = get_lib()
+    comp = _contig(comp, np.uint8)
+    b, scap = comp.shape
+    lens = _contig(clens, np.int32)
+    dst = np.zeros((b, out_cap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_lz4p_decode_batch(_u8(comp), b, scap, _i32(lens), _u8(dst),
+                              out_cap, _i64(out), nthreads)
+    return dst, out
 
 
 def lz4_decompress_batch(comp: np.ndarray, clens: np.ndarray,
