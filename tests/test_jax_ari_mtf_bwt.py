@@ -106,3 +106,27 @@ def test_bwt_pipeline_with_mtf_ari(rng):
     L2 = jmtf.decode(m2, ln)
     out = jbwt.decode_block(L2, origin, ln)
     assert np.asarray(out)[: len(s)].tobytes() == s
+
+
+def test_bwt_encode_batch_fast_packed_mode(rng):
+    """Round 3: the packed u32 doubling sort (all-full rows, n <= 65536,
+    rank pairs in single keys) must produce oracle suffix arrays — incl.
+    periodic ties (packed single-key final sort) and the early-exit path."""
+    from tpuzip.codecs.bwt import _encode_batch_fast
+    from tpuzip.oracle import bwt as obwt
+
+    for n in (256, 1024, 65536):
+        text = (open("/root/repo/SURVEY.md", "rb").read() * 3)[:n]
+        rows = np.stack([
+            np.frombuffer(text, np.uint8),
+            rng.integers(0, 256, n, dtype=np.uint8),
+            np.frombuffer((b"ab" * (n // 2))[:n], np.uint8),  # periodic
+            np.zeros(n, np.uint8),                            # constant
+        ])
+        lens = np.full(4, n, np.int32)
+        L, origins = _encode_batch_fast(jnp.array(rows), jnp.array(lens),
+                                        all_full=True)
+        for i in range(4):
+            want_L, want_o = obwt.encode_block(rows[i].tobytes())
+            assert np.asarray(L)[i].tobytes() == want_L, (n, i)
+            assert int(np.asarray(origins)[i]) == want_o, (n, i)

@@ -154,10 +154,38 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
             return jnp.roll(d, -k, axis=1)
         return jnp.take_along_axis(d, (idx + k) % safe_len, axis=1)
 
-    h0 = 12 if all_full else 6
-    keys = [(cyc(3 * j) << 16) | (cyc(3 * j + 1) << 8) | cyc(3 * j + 2)
-            for j in range(h0 // 3)]
-    keys = [jnp.where(valid, kk, jnp.int32(0x7FFFFFFF)) for kk in keys]
+    # packed mode (round 3): when every row is full and n <= 65536, dense
+    # ranks fit 16 bits, so rank PAIRS pack into single u32 sort keys —
+    # the doubling sort drops from (4 keys + idx) to (2 keys + idx)
+    # operands and every permutation-inversion/final sort becomes a
+    # single-key sort ((value << 16) | payload).  lax.sort cost scales
+    # with operand count, which is the measured bottleneck (244M keys/s).
+    packed = all_full and n <= (1 << 16)
+
+    def inv_perm(order_, vals):
+        """rank[p] = vals at sorted position of p (permutation inversion
+        via sort — faster than scatter on v5e)."""
+        if packed:
+            pk = (order_.astype(jnp.uint32) << 16) | vals.astype(jnp.uint32)
+            return lax.sort(pk, dimension=1).astype(
+                jnp.int32) & jnp.int32(0xFFFF)
+        _, out = lax.sort([order_, vals], dimension=1, num_keys=1,
+                          is_stable=True)
+        return out
+
+    if packed:
+        # initial rank: SIXTEEN cyclic bytes as four u32 keys (u32 packing
+        # has no sign pitfall) — h=16 start, one fewer doubling round
+        h0 = 16
+        keys = [(cyc(4 * j).astype(jnp.uint32) << 24)
+                | (cyc(4 * j + 1).astype(jnp.uint32) << 16)
+                | (cyc(4 * j + 2).astype(jnp.uint32) << 8)
+                | cyc(4 * j + 3).astype(jnp.uint32) for j in range(4)]
+    else:
+        h0 = 12 if all_full else 6
+        keys = [(cyc(3 * j) << 16) | (cyc(3 * j + 1) << 8) | cyc(3 * j + 2)
+                for j in range(h0 // 3)]
+        keys = [jnp.where(valid, kk, jnp.int32(0x7FFFFFFF)) for kk in keys]
     *ks, order = lax.sort(keys + [idx], dimension=1, num_keys=len(keys),
                           is_stable=True)
     diff = (ks[0][:, 1:] != ks[0][:, :-1])
@@ -166,8 +194,7 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     changed = jnp.concatenate(
         [jnp.ones((b, 1), jnp.int32), diff.astype(jnp.int32)], axis=1)
     ranks_sorted = jnp.cumsum(changed, axis=1) - 1
-    _, rank0 = lax.sort([order, ranks_sorted], dimension=1, num_keys=1,
-                        is_stable=True)
+    rank0 = inv_perm(order, ranks_sorted)
     rank0 = jnp.where(valid, rank0, big)
 
     def unique_done(rank):
@@ -205,8 +232,14 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
         rank, k, _, _ = state
         ranks_at = [rank] + [second_at(rank, k * j)
                              for j in range(1, way)]
+        if packed:  # two u32 keys carry all four 16-bit ranks
+            ranks_at = [
+                (ranks_at[0].astype(jnp.uint32) << 16)
+                | ranks_at[1].astype(jnp.uint32),
+                (ranks_at[2].astype(jnp.uint32) << 16)
+                | ranks_at[3].astype(jnp.uint32)]
         *kr, order = lax.sort(ranks_at + [idx], dimension=1,
-                              num_keys=way, is_stable=True)
+                              num_keys=len(ranks_at), is_stable=True)
         diff = (kr[0][:, 1:] != kr[0][:, :-1])
         for kk in kr[1:]:
             diff = diff | (kk[:, 1:] != kk[:, :-1])
@@ -214,8 +247,7 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
             [jnp.ones((b, 1), jnp.int32), diff.astype(jnp.int32)], axis=1)
         rs = jnp.cumsum(changed, axis=1) - 1
         # invert the permutation with a second sort (faster than scatter)
-        _, nr = lax.sort([order, rs], dimension=1, num_keys=1,
-                         is_stable=True)
+        nr = inv_perm(order, rs)
         nr = jnp.where(valid, nr, big)
         return nr, k * way, unique_done(nr), order
 
@@ -228,12 +260,24 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # when the loop exited resolved, the resolving round's sort order IS
     # the suffix array (sorted by now-unique ranks, idx-stable); only the
     # periodic-tie exit (k >= n) still pays the final sort
-    sa = lax.cond(
-        resolved,
-        lambda args: args[1],
-        lambda args: lax.sort([args[0], idx], dimension=1, num_keys=1,
-                              is_stable=True)[1],
-        (rank, last_order))
+    if packed:
+        # periodic-tie exit: single-key sort of (rank << 16) | idx — the
+        # low bits ARE the stable index tiebreak
+        def tie_sort(args):
+            pk = (args[0].astype(jnp.uint32) << 16) \
+                | idx.astype(jnp.uint32)
+            return lax.sort(pk, dimension=1).astype(
+                jnp.int32) & jnp.int32(0xFFFF)
+
+        sa = lax.cond(resolved, lambda args: args[1], tie_sort,
+                      (rank, last_order))
+    else:
+        sa = lax.cond(
+            resolved,
+            lambda args: args[1],
+            lambda args: lax.sort([args[0], idx], dimension=1, num_keys=1,
+                                  is_stable=True)[1],
+            (rank, last_order))
     prev = (sa - 1) % safe_len
     L = jnp.where(valid, jnp.take_along_axis(d, prev, axis=1), 0
                   ).astype(jnp.uint8)
