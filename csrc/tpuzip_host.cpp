@@ -291,6 +291,7 @@ int64_t tpz_lz4p_encode(const uint8_t* src, int64_t n, uint8_t* dst,
 
 int64_t tpz_lz4p_decode(const uint8_t* src, int64_t n, uint8_t* dst,
                         int64_t cap) {
+  if (n == 0) return 0;  // padding/empty slot, not corruption
   if (n < 8) return -1;
   uint32_t S, on;
   memcpy(&S, src, 4);

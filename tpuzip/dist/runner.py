@@ -1131,8 +1131,9 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         bad = (got[:B] != olens[:B]) & (clens[:B] > 0) & (errs[:B] == 0)
         if bad.any() and codec in ("lz4", "lz4p", "rle"):
             raise ValueError(f"block length mismatch at {np.nonzero(bad)[0][:8]}")
-    if np.asarray(errs).any():
-        raise CorruptStreamError(np.nonzero(np.asarray(errs))[0])
+    # only real blocks can be corrupt — rows beyond B are mesh padding
+    if np.asarray(errs)[:B].any():
+        raise CorruptStreamError(np.nonzero(np.asarray(errs)[:B])[0])
     if block_sums is not None:
         from tpuzip.core.checksum import adler32_batch
 
