@@ -2056,12 +2056,39 @@ bool mkq_rotations(const uint8_t* s2, int32_t* a, int64_t m, int64_t depth,
 // data+data+sentinel with the KMP periodic reduction.
 void rotation_order(const uint8_t* data, int64_t n, int32_t* rot) {
   if (n > 1) {
-    std::vector<uint8_t> s2((size_t)(2 * n));
-    memcpy(s2.data(), data, (size_t)n);
-    memcpy(s2.data() + n, data, (size_t)n);
-    for (int64_t i = 0; i < n; ++i) rot[i] = (int32_t)i;
-    int64_t budget = 8 * n;  // cheap probe: bail early on high-LCP data
-    if (mkq_rotations(s2.data(), rot, n, 0, n, &budget)) return;
+    // distinctness gate: mkq wins only on low-LCP data (ternary
+    // partitioning costs ~8n PER byte-depth).  Sample 4-byte windows into
+    // a tiny hash table; a high repeat fraction means deep LCPs -> go
+    // straight to SA-IS instead of burning the mkq budget first.
+    bool try_mkq = true;
+    if (n >= 4096) {
+      uint32_t seen[1024];
+      memset(seen, 0, sizeof(seen));
+      int64_t samples = 512, dup = 0;
+      int64_t stride = (n - 4) / samples;
+      if (stride < 1) stride = 1;
+      for (int64_t k = 0; k < samples; ++k) {
+        uint32_t w;
+        memcpy(&w, data + k * stride, 4);
+        uint32_t h = (w * 2654435761u) >> 22;  // 10-bit slot
+        if (seen[h] == w + 1) {
+          ++dup;
+        } else {
+          seen[h] = w + 1;
+        }
+      }
+      try_mkq = dup < samples / 4;  // >25% repeated windows: high-LCP
+    }
+    if (try_mkq) {
+      std::vector<uint8_t> s2((size_t)(2 * n));
+      memcpy(s2.data(), data, (size_t)n);
+      memcpy(s2.data() + n, data, (size_t)n);
+      for (int64_t i = 0; i < n; ++i) rot[i] = (int32_t)i;
+      // ~8 byte-depths of ternary partitioning (a full random-data sort
+      // needs ~10-16n; high-LCP data exhausts this and falls back)
+      int64_t budget = 64 * n;
+      if (mkq_rotations(s2.data(), rot, n, 0, n, &budget)) return;
+    }
   }
   rotation_order_sais(data, n, rot);
 }
