@@ -528,10 +528,21 @@ def ari_encode_indexed_batch(blocks: np.ndarray, lengths: np.ndarray,
     (bit-exact streams AND deltas vs the Pallas kernel / XLA scan).
     Returns (comp (B, dcap) u8, clens (B,) i64, deltas (B, nc) i32)."""
     lib = get_lib()
-    blocks = _contig(blocks, np.uint8)
-    b, cap = blocks.shape
+    blocks = np.asarray(blocks)
     lens = _contig(lengths, np.int32)
-    dcap = 2 * cap + 64
+    if (blocks.dtype == np.uint8 and blocks.ndim == 2
+            and blocks.strides[1] == 1
+            and blocks.strides[0] >= blocks.shape[1]):
+        # row-contiguous view (e.g. the bwtdc DC buffer sliced to the
+        # bucketed ari width): pass the parent row stride straight to the
+        # C++ side instead of materializing a 100+ MB contiguous copy
+        cap = blocks.strides[0]
+    else:
+        blocks = _contig(blocks, np.uint8)
+        cap = blocks.shape[1]
+    b = blocks.shape[0]
+    # size the output by the real symbol counts, not the row capacity
+    dcap = 2 * int(lens.max(initial=1)) + 64
     dst = np.zeros((b, dcap), np.uint8)
     out = np.zeros(b, np.int64)
     deltas = np.zeros((b, nc), np.int32)
