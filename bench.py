@@ -91,15 +91,56 @@ def main() -> None:
     detail = {"platform": jax.devices()[0].platform}
     if detail["platform"] != "tpu":
         # the lane kernels need the chip; emit an honest record instead of
-        # crashing when the dev tunnel is down (it died mid-round once)
+        # crashing when the dev tunnel is down (it died mid-round 2 and
+        # stayed dead through round 3)
+        host = {}
+        try:
+            # measure the threaded-C++ production stages so the record
+            # still carries THIS round's motion (they are the off-TPU
+            # production paths; the chip kernels re-measure when the
+            # relay returns)
+            hdata = make_corpus(64 << 20)
+            rows = np.frombuffer(hdata, np.uint8).reshape(-1, 1 << 16)
+            lens = np.full(rows.shape[0], 1 << 16, np.int32)
+            nc = (1 << 16) // rd.CHUNK_STEPS
+            t0 = time.perf_counter()
+            comp, cl, _ = native.ari_encode_indexed_batch(rows, lens, nc)
+            host["ari_encode_MBps"] = round(
+                len(hdata) / (time.perf_counter() - t0) / 1e6, 1)
+            t0 = time.perf_counter()
+            out = native.ari_decode_batch_native(
+                comp, cl.astype(np.int32), lens, 1 << 16)
+            host["ari_decode_MBps"] = round(
+                len(hdata) / (time.perf_counter() - t0) / 1e6, 1)
+            assert out[1].tobytes() == rows[1].tobytes()
+            t0 = time.perf_counter()
+            lc, ll = native.lz4_compress_batch(rows, lens)
+            host["lz4_encode_MBps"] = round(
+                len(hdata) / (time.perf_counter() - t0) / 1e6, 1)
+            t0 = time.perf_counter()
+            lo, st = native.lz4_decompress_batch(
+                lc, ll.astype(np.int32), 1 << 16)
+            host["lz4_decode_MBps"] = round(
+                len(hdata) / (time.perf_counter() - t0) / 1e6, 1)
+            assert (st > 0).all() and lo[2].tobytes() == rows[2].tobytes()
+            t0 = time.perf_counter()
+            L, orig = native.bwt_forward_batch(rows, lens)
+            host["bwt_forward_MBps"] = round(
+                len(hdata) / (time.perf_counter() - t0) / 1e6, 1)
+        except Exception as e:  # the record must still print
+            host["error"] = repr(e)[:120]
         print(json.dumps({
             "metric": "ari_encode+decode_throughput", "value": 0.0,
             "unit": "GB/s/chip", "vs_baseline": 0.0,
             "detail": {**detail,
                        "error": "no TPU visible — kernels not run (the "
-                                "axon relay died mid-round 2026-08-18)",
+                                "axon relay died mid-round-2 2026-08-18 "
+                                "and stayed down through round 3)",
+                       "host_production_stages_r3": host,
+                       "scale_rehearsal": "bench/scale_r3.json (1 GiB "
+                                          "per codec + kill/resume)",
                        "last_real_chip_run": {
-                           "when": "2026-08-17 22:18 (this round)",
+                           "when": "2026-08-17 22:18 (round 2)",
                            "value_GBps_chip": 0.2795,
                            "vs_baseline": 10.0,
                            "ari": {"encode_MBps": 284.9,
