@@ -486,3 +486,32 @@ def test_config_knobs_change_behavior():
     finally:
         if orig_fn is not None:
             native_mod.bwt_inverse_batch = orig_fn
+
+
+def test_mesh_and_runtime_config_knobs(tmp_path):
+    """chips_per_host narrows the mesh, blocks_per_chip sizes implicit
+    superbatches, checkpoint_dir defaults run_job's workdir, log_level is
+    consumed — no decorative config fields."""
+    import struct
+
+    from tpuzip.core.config import Config
+    from tpuzip.runtime import checkpoint
+
+    data = (open("/root/repo/SURVEY.md", "rb").read() * 3)[:80000]
+    cfg = Config()
+    cfg.mesh.chips_per_host = 4
+    cfg.mesh.blocks_per_chip = 2
+    c = runner.compress(data, codec="lz4", block_size=4096, config=cfg)
+    assert runner.decompress(c) == data
+    blob = runner.compress_corpus(data, codec="lz4", block_size=4096,
+                                  superbatch=None, config=cfg)
+    (count,) = struct.unpack_from("<I", blob, 4)
+    assert count == -(-len(data) // (2 * 4 * 4096))  # blocks*ndp*bs
+    assert runner.decompress_corpus(blob) == data
+
+    cfg2 = Config()
+    cfg2.checkpoint_dir = str(tmp_path / "job")
+    out = checkpoint.run_job(data, config=cfg2)
+    assert runner.decompress(out) == data
+    with pytest.raises(ValueError):
+        checkpoint.run_job(data)

@@ -58,11 +58,13 @@ class CodecConfig:
 
 @dataclasses.dataclass
 class MeshConfig:
-    """Device mesh shape for the DP-over-blocks pipeline."""
-    hosts: int = 1
-    chips_per_host: int = 0         # 0 = all local devices
+    """Device mesh shape for the DP-over-blocks pipeline.  (Host count is
+    owned by jax.distributed initialization, not config.)"""
+    chips_per_host: int = 0         # 0 = all local devices (mesh width)
     block_size: int = 1 << 16       # bytes per independent block (DP grain)
-    blocks_per_chip: int = 8        # batch width per device per step
+    blocks_per_chip: int = 8        # batch width per device per superbatch
+    #                                 step (sizes compress_corpus batches
+    #                                 when superbatch is not given)
 
 
 @dataclasses.dataclass

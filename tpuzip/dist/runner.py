@@ -710,7 +710,11 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
         inc = config.codec.ari.increment
         thr = config.codec.ari.threshold
         knob_defaults = (8, 1 << 13)
-    mesh = mesh or meshlib.make_mesh()
+    if config.log_level != "info":
+        from tpuzip.utils.metrics import setup_logging
+
+        setup_logging(config.log_level)
+    mesh = mesh or meshlib.make_mesh(config.mesh.chips_per_host or None)
     ndp = mesh.shape["dp"]
     with metrics.phase("chunk", bytes_in=len(data)):
         blocks, lengths = blk.chunk_padded(data, block_size, ndp)
@@ -1261,7 +1265,8 @@ MAGIC_CORPUS = b"TPZC"
 
 def compress_corpus(data: bytes, codec: str = "lz4",
                     block_size: int = 1 << 16,
-                    superbatch: int = 8 << 20, mesh: Mesh | None = None,
+                    superbatch: int | None = 8 << 20,
+                    mesh: Mesh | None = None,
                     pipeline: int = 2, block_checksums: bool = False,
                     config=None) -> bytes:
     """Compress a large corpus as a sequence of superbatch containers with
@@ -1277,6 +1282,15 @@ def compress_corpus(data: bytes, codec: str = "lz4",
     import struct as _struct
     from concurrent.futures import ThreadPoolExecutor
 
+    if superbatch is None:
+        # mesh.blocks_per_chip sizes the superbatch: one batch step keeps
+        # every dp shard fed with that many blocks
+        from tpuzip.core.config import Config
+
+        cfg = config or Config()
+        ndp = (mesh or meshlib.make_mesh(
+            cfg.mesh.chips_per_host or None)).shape["dp"]
+        superbatch = cfg.mesh.blocks_per_chip * ndp * block_size
     pieces = [data[o : o + superbatch]
               for o in range(0, max(len(data), 1), superbatch)]
     out = [MAGIC_CORPUS, _struct.pack("<I", len(pieces))]

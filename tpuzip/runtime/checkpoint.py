@@ -50,9 +50,10 @@ class Manifest:
         return not self.missing_batches(batch_blocks)
 
 
-def run_job(data: bytes, workdir: str, codec: str = "lz4",
+def run_job(data: bytes, workdir: str | None = None, codec: str = "lz4",
             block_size: int = 1 << 16, batch_blocks: int = 64,
-            mesh=None, fail_batches: set[int] | None = None) -> bytes:
+            mesh=None, fail_batches: set[int] | None = None,
+            config=None) -> bytes:
     """Resumable compression job.  ``fail_batches`` injects faults (the
     batch raises once, then succeeds on resume) — used by tests.
 
@@ -68,6 +69,11 @@ def run_job(data: bytes, workdir: str, codec: str = "lz4",
     from tpuzip.dist import mesh as meshlib
     from tpuzip.dist.runner import CODECS, MAGIC, _ENCODERS, corpus_adler32
 
+    if workdir is None:
+        workdir = getattr(config, "checkpoint_dir", None)
+        if workdir is None:
+            raise ValueError(
+                "run_job needs a workdir (or Config.checkpoint_dir)")
     os.makedirs(workdir, exist_ok=True)
     mpath = os.path.join(workdir, "manifest.json")
     mesh = mesh or meshlib.make_mesh()
