@@ -51,6 +51,13 @@ def main() -> None:
     with open(out_path, "wb") as f:
         f.write(container)
 
+    # decode side: this host decodes its block range of the merged
+    # container; the corpus adler verifies via the DCN combine
+    local, lo, hi = multihost.decompress_corpus_multihost(container,
+                                                          config=config)
+    with open(out_path + f".dec{pid}", "wb") as f:
+        f.write(local)
+
 
 if __name__ == "__main__":
     main()

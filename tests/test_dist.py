@@ -515,3 +515,25 @@ def test_mesh_and_runtime_config_knobs(tmp_path):
     assert runner.decompress(out) == data
     with pytest.raises(ValueError):
         checkpoint.run_job(data)
+
+
+def test_decompress_corpus_multihost_single_process():
+    """Distributed decode, single-process degenerate path: full-range
+    decode + global adler combine; corrupt containers raise."""
+    from tpuzip.dist import multihost
+    from tpuzip.runtime.errors import ChecksumError, CorruptStreamError
+
+    data = bytes((i * 31 + 7) % 256 for i in range(50000))
+    for codec in ("lz4", "ari"):
+        c = runner.compress(data, codec=codec, block_size=4096,
+                            block_checksums=True)
+        local, lo, hi = multihost.decompress_corpus_multihost(c)
+        assert local == data and lo == 0
+        (blocks, olens, orig), _, _ = multihost.decompress_corpus_multihost(
+            c, to_device=True)
+        assert orig == len(data)
+    c = runner.compress(data, codec="lz4", block_size=4096)
+    bad = bytearray(c)
+    bad[len(bad) // 2] ^= 0x41
+    with pytest.raises((ChecksumError, CorruptStreamError, ValueError)):
+        multihost.decompress_corpus_multihost(bytes(bad))

@@ -94,6 +94,13 @@ def test_two_process_every_codec(codec, tmp_path):
     if codec in ("ari", "bwt", "bwtdc"):
         assert containers[0][5] & 2, "staged flag bit must survive the merge"
     assert runner.decompress(containers[0]) == _corpus(9)
+    # distributed DECODE: the per-rank local ranges written by the workers
+    # must concatenate back to the corpus (decompress_corpus_multihost,
+    # global adler verified via the DCN combine inside the workers)
+    parts = b"".join(
+        open(str(tmp_path / f"container_{p}.tpz.dec{p}"), "rb").read()
+        for p in range(2))
+    assert parts == _corpus(9)
 
 
 def test_two_process_ari_knobs_and_checksums(tmp_path):

@@ -175,3 +175,94 @@ def compress_corpus_multihost(data: bytes, codec: str = "lz4",
             hdr += struct.pack("<I", int(s))
     hdr += trailer
     return bytes(hdr) + payload
+
+
+def decompress_corpus_multihost(container: bytes, config=None,
+                                to_device: bool = False):
+    """Decode side of config 5: every host decodes ITS contiguous block
+    range of one tpz container on its local devices.
+
+    Returns ``(local_bytes_or_blocks, lo_block, hi_block)``.  The corpus
+    Adler-32 cannot be checked host-locally, so per-host checksums are
+    combined IN ORDER over DCN (oracle.adler.combine == zlib's
+    adler32_combine) and verified against the header on every host;
+    per-block checksum tables (flag 1) still verify locally."""
+    import struct
+    import zlib
+
+    from jax.sharding import Mesh
+
+    from tpuzip.dist import mesh as meshlib, runner
+    from tpuzip.oracle import adler as oadler
+    from tpuzip.runtime.errors import ChecksumError
+
+    if container[:4] != runner.MAGIC:
+        raise ValueError("bad tpz magic")
+    flags = container[5]
+    block_size, B, orig_len, a32 = struct.unpack_from("<IIQI", container, 6)
+    off = 26
+    clens = np.frombuffer(container, np.uint32, B, off).astype(np.int64)
+    off += 4 * B
+    bsums = None
+    if flags & 1:
+        bsums = np.frombuffer(container, np.uint32, B, off)
+        off += 4 * B
+    trailer = b""
+    if flags & 4:
+        trailer = bytes(container[off : off + 6])
+        off += 6
+    starts = off + np.concatenate([[0], np.cumsum(clens)])
+    lo, hi = host_block_range(B)
+    olens = np.minimum(
+        orig_len - np.arange(B, dtype=np.int64) * block_size, block_size)
+    olens = np.maximum(olens, 0)
+    local_orig = int(olens[lo:hi].sum())
+
+    # rebuild a self-contained sub-container for the local range; the
+    # corpus checksum field is zeroed (verified globally below)
+    hdr = bytearray(runner.MAGIC)
+    hdr.append(container[4])
+    hdr.append(flags)
+    hdr += struct.pack("<IIQI", block_size, hi - lo, local_orig, 0)
+    for i in range(lo, hi):
+        hdr += struct.pack("<I", int(clens[i]))
+    if bsums is not None:
+        for i in range(lo, hi):
+            hdr += struct.pack("<I", int(bsums[i]))
+    hdr += trailer
+    local_container = bytes(hdr) + container[starts[lo] : starts[hi]]
+
+    local_devices = jax.local_devices()
+    local_mesh = meshlib.make_mesh(len(local_devices),
+                                   devices=local_devices)
+    out = runner.decompress(local_container, mesh=local_mesh,
+                            config=config, to_device=to_device)
+    if to_device:
+        blocks, out_olens, _ = out
+        local_bytes = None
+        local_sum = None  # device path: caller owns verification timing
+    else:
+        local_bytes = out
+        local_sum = zlib.adler32(local_bytes)
+
+    # ordered global checksum: allgather per-host (adler, length) pairs
+    # and fold with the combine identity
+    if local_sum is not None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            pairs = multihost_utils.process_allgather(
+                np.array([local_sum, len(local_bytes)], np.int64))
+            total = 1
+            for p in range(jax.process_count()):
+                total = oadler.combine(total, int(pairs[p, 0]),
+                                       int(pairs[p, 1]))
+        else:
+            total = oadler.combine(1, local_sum, len(local_bytes))
+        if a32 and total != a32:
+            raise ChecksumError(
+                f"corpus Adler-32 mismatch after distributed decode: "
+                f"{total:#x} != {a32:#x}")
+    if to_device:
+        return (blocks, out_olens, local_orig), lo, hi
+    return local_bytes, lo, hi
