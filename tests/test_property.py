@@ -115,3 +115,49 @@ def test_corpus_api_roundtrip(data):
     blob = tpuzip.compress_corpus(data, codec="rle", block_size=512,
                                   superbatch=1024)
     assert tpuzip.decompress_corpus(blob) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(BYTES, RUNS), min_size=1, max_size=5),
+       st.booleans())
+def test_native_bin_apm_roundtrip(blocks, use_apm):
+    """C++ bin/apm batch coder round-trips arbitrary byte blocks and
+    matches the oracle bit-model chain driven MSB-first."""
+    import numpy as np
+
+    native = _native_or_skip()
+    cap = max(max((len(b) for b in blocks), default=1), 1)
+    rows = np.zeros((len(blocks), cap), np.uint8)
+    lens = np.zeros(len(blocks), np.int32)
+    for i, b in enumerate(blocks):
+        rows[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    comp, cl = native.bin_encode_batch_native(rows, lens, use_apm=use_apm)
+    out = native.bin_decode_batch_native(comp, cl.astype(np.int32), lens,
+                                         cap, use_apm=use_apm)
+    for i, b in enumerate(blocks):
+        assert out[i, : len(b)].tobytes() == b
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(BYTES, RUNS), min_size=1, max_size=5))
+def test_native_lz4p_and_dc_roundtrip(blocks):
+    import numpy as np
+
+    native = _native_or_skip()
+    cap = max(max((len(b) for b in blocks), default=1), 1)
+    rows = np.zeros((len(blocks), cap), np.uint8)
+    lens = np.zeros(len(blocks), np.int32)
+    for i, b in enumerate(blocks):
+        rows[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    comp, cl = native.lz4p_encode_batch(rows, lens)
+    out, st_ = native.lz4p_decode_batch_native(comp, cl.astype(np.int32),
+                                               cap)
+    for i, b in enumerate(blocks):
+        assert st_[i] == len(b) and out[i, : len(b)].tobytes() == b
+    dcomp, dcl = native.dc_encode_batch(rows, lens)
+    dout, got = native.dc_decode_batch(dcomp, dcl.astype(np.int32), cap)
+    for i, b in enumerate(blocks):
+        assert got[i] == len(b) and dout[i, : len(b)].tobytes() == b
+        assert dcomp[i, : dcl[i]].tobytes() == dc.encode(b)
