@@ -1383,31 +1383,52 @@ int64_t tpz_dc_decode(const uint8_t* src, int64_t n, uint8_t* dst,
   memcpy(&out_n, src, 4);
   if ((int64_t)out_n > cap) return -1;
   int64_t i = 4;
-  // scheduled heads: position -> symbol; <= 256 live at any time (one per
-  // symbol), so a flat array + linear min scan is cache-friendly
-  int64_t sched_pos[256];
-  int nsched = 0;
-  uint8_t sched_sym[256];
+  // scheduled heads as a binary min-heap of (pos << 8 | sym): <= 256 live
+  // entries (one per symbol), O(runs log 256) instead of the linear
+  // 256-scan per run.  Distinct positions make the packed key a total
+  // order; double-scheduling is caught by comparing against the popped
+  // minimum (any duplicate position would pop adjacently).
+  uint64_t heap[257];
+  int hn = 0;
+  auto push = [&](uint64_t v) {
+    int k = hn++;
+    heap[k] = v;
+    while (k > 0) {
+      int p = (k - 1) >> 1;
+      if (heap[p] <= heap[k]) break;
+      std::swap(heap[p], heap[k]);
+      k = p;
+    }
+  };
+  auto pop = [&]() {
+    uint64_t top = heap[0];
+    heap[0] = heap[--hn];
+    int k = 0;
+    for (;;) {
+      int l = 2 * k + 1, r = l + 1, m = k;
+      if (l < hn && heap[l] < heap[m]) m = l;
+      if (r < hn && heap[r] < heap[m]) m = r;
+      if (m == k) break;
+      std::swap(heap[k], heap[m]);
+      k = m;
+    }
+    return top;
+  };
   for (int s = 0; s < 256; ++s) {
     uint32_t f;
     memcpy(&f, src + i, 4);
     i += 4;
-    if (f < out_n) {
-      sched_pos[nsched] = f;
-      sched_sym[nsched++] = (uint8_t)s;
-    }
+    if (f < out_n) push(((uint64_t)f << 8) | (uint32_t)s);
   }
   int64_t pos = 0;
   while (pos < out_n) {
-    // find the scheduled head at pos and the next-smallest head
-    int cur = -1;
-    int64_t nxt = out_n;
-    for (int k = 0; k < nsched; ++k) {
-      if (sched_pos[k] == pos) cur = k;
-      else if (sched_pos[k] < nxt) nxt = sched_pos[k];
-    }
-    if (cur < 0) return -2;  // no run head scheduled here: corrupt
-    uint8_t s = sched_sym[cur];
+    if (hn == 0) return -2;
+    uint64_t top = pop();
+    int64_t hpos = (int64_t)(top >> 8);
+    uint8_t s = (uint8_t)(top & 0xFF);
+    if (hpos != pos) return -2;  // no run head scheduled here: corrupt
+    if (hn && (int64_t)(heap[0] >> 8) == pos) return -2;  // double-sched
+    int64_t nxt = hn ? (int64_t)(heap[0] >> 8) : (int64_t)out_n;
     memset(dst + pos, s, (size_t)(nxt - pos));
     int64_t run_end = nxt - 1;
     // read varint distance
@@ -1424,12 +1445,7 @@ int64_t tpz_dc_decode(const uint8_t* src, int64_t n, uint8_t* dst,
     if (d) {
       int64_t target = run_end + d;
       if (target >= out_n || target < nxt) return -2;
-      for (int k = 0; k < nsched; ++k)
-        if (sched_pos[k] == target) return -2;  // double-scheduled: corrupt
-      sched_pos[cur] = target;  // reuse the slot
-    } else {
-      sched_pos[cur] = sched_pos[--nsched];
-      sched_sym[cur] = sched_sym[nsched];
+      push(((uint64_t)target << 8) | s);
     }
     pos = nxt;
   }
