@@ -105,6 +105,24 @@ uint32_t tpz_xxh32(const uint8_t* p, int64_t n, uint32_t seed) {
   return h;
 }
 
+
+// first-mismatch match extension: 8 bytes per step + ctz, byte-identical
+// to the scalar loop (pure length computation, no policy change)
+static inline int64_t match_extend(const uint8_t* a, const uint8_t* b,
+                                   int64_t limit) {
+  int64_t m = 0;
+  while (m + 8 <= limit) {
+    uint64_t x, y;
+    memcpy(&x, a + m, 8);
+    memcpy(&y, b + m, 8);
+    uint64_t d = x ^ y;
+    if (d) return m + (__builtin_ctzll(d) >> 3);
+    m += 8;
+  }
+  while (m < limit && a[m] == b[m]) ++m;
+  return m;
+}
+
 // ---------------------------------------------------------------- LZ4 block
 // Greedy single-probe hash encoder, same policy/format as tpuzip.oracle.lz4.
 int64_t tpz_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
@@ -135,11 +153,12 @@ int64_t tpz_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
     table[h] = i;
     if (cand >= 0 && i - cand <= 0xFFFF &&
         memcmp(src + cand, src + i, 4) == 0) {
-      int64_t m = i + 4, c = cand + 4, end = n - LASTLIT;
-      while (m < end && src[m] == src[c]) {
-        ++m;
-        ++c;
-      }
+      int64_t end = n - LASTLIT;
+      int64_t ext = (i + 4 < end)
+                        ? match_extend(src + i + 4, src + cand + 4,
+                                       end - (i + 4))
+                        : 0;
+      int64_t m = i + 4 + ext;
       int64_t mlen = m - i, lit = i - anchor;
       int64_t ml = mlen - 4;
       // worst case: token + lit-ext + literals + offset + match-ext bytes
@@ -253,11 +272,12 @@ int64_t tpz_lz4p_encode(const uint8_t* src, int64_t n, uint8_t* dst,
     table[h] = i;
     if (cand >= 0 && i - cand <= 0xFFFF &&
         memcmp(src + cand, src + i, 4) == 0) {
-      int64_t m = i + 4, c = cand + 4, end = n - LASTLIT;
-      while (m < end && src[m] == src[c]) {
-        ++m;
-        ++c;
-      }
+      int64_t end = n - LASTLIT;
+      int64_t ext = (i + 4 < end)
+                        ? match_extend(src + i + 4, src + cand + 4,
+                                       end - (i + 4))
+                        : 0;
+      int64_t m = i + 4 + ext;
       push_seq(anchor, i - anchor, m - i, i - cand);
       i = m;
       anchor = m;
@@ -384,8 +404,7 @@ int64_t tpz_lz4_compress_chained(const uint8_t* src, int64_t n, uint8_t* dst,
       int chain = max_chain;
       while (c >= 0 && i - c <= WIN && chain-- > 0) {
         if (src[c + best] == src[i + best]) {  // cheap reject at cur best
-          int64_t m = 0;
-          while (i + m < lim && src[c + m] == src[i + m]) ++m;
+          int64_t m = match_extend(src + c, src + i, lim - i);
           if (m > best) {
             best = m;
             bestpos = c;
@@ -1077,8 +1096,7 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
       int chain = max_chain;
       int lim = (int)std::min<int64_t>(MAXM, n - i);
       while (c >= 0 && i - c <= WIN && chain-- > 0) {
-        int l = 0;
-        while (l < lim && src[c + l] == src[i + l]) ++l;
+        int l = (int)match_extend(src + c, src + i, lim);
         if (l > best) {
           best = l;
           bestd = i - c;
