@@ -222,7 +222,23 @@ int64_t tpz_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
     }
     if (o + mlen > cap) return -1;
     int64_t s = o - off;
-    for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[s + k];
+    if (off >= 8) {
+      // non-overlapping at u64 granularity: 8-byte wildcopy, with a tail
+      // guard so we never write past o+mlen into unwritten space beyond
+      // the buffer... the copy may overrun INTO [o+mlen, o+mlen+7) only
+      // when that stays inside cap
+      int64_t k = 0;
+      if (o + mlen + 8 <= cap) {
+        for (; k < mlen; k += 8) memcpy(dst + o + k, dst + s + k, 8);
+      } else {
+        for (; k + 8 <= mlen; k += 8) memcpy(dst + o + k, dst + s + k, 8);
+        for (; k < mlen; ++k) dst[o + k] = dst[s + k];
+      }
+    } else if (off == 1) {
+      memset(dst + o, dst[s], (size_t)mlen);
+    } else {
+      for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[s + k];
+    }
     o += mlen;
   }
   return o;
