@@ -123,6 +123,29 @@ static inline int64_t match_extend(const uint8_t* a, const uint8_t* b,
   return m;
 }
 
+
+// overlap-aware fast match copy (byte-identical to the naive loop):
+// 8-byte wildcopy when offset allows, memset for offset-1 runs; the
+// wildcopy may scribble into [o+mlen, o+mlen+8) inside the buffer, which
+// later writes overwrite — callers pass the writable capacity
+static inline void match_copy(uint8_t* dst, int64_t o, int64_t off,
+                              int64_t mlen, int64_t cap) {
+  int64_t s = o - off;
+  if (off >= 8) {
+    int64_t k = 0;
+    if (o + mlen + 8 <= cap) {
+      for (; k < mlen; k += 8) memcpy(dst + o + k, dst + s + k, 8);
+    } else {
+      for (; k + 8 <= mlen; k += 8) memcpy(dst + o + k, dst + s + k, 8);
+      for (; k < mlen; ++k) dst[o + k] = dst[s + k];
+    }
+  } else if (off == 1) {
+    memset(dst + o, dst[s], (size_t)mlen);
+  } else {
+    for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[s + k];
+  }
+}
+
 // ---------------------------------------------------------------- LZ4 block
 // Greedy single-probe hash encoder, same policy/format as tpuzip.oracle.lz4.
 int64_t tpz_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
@@ -221,24 +244,7 @@ int64_t tpz_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
       } while (b == 255);
     }
     if (o + mlen > cap) return -1;
-    int64_t s = o - off;
-    if (off >= 8) {
-      // non-overlapping at u64 granularity: 8-byte wildcopy, with a tail
-      // guard so we never write past o+mlen into unwritten space beyond
-      // the buffer... the copy may overrun INTO [o+mlen, o+mlen+7) only
-      // when that stays inside cap
-      int64_t k = 0;
-      if (o + mlen + 8 <= cap) {
-        for (; k < mlen; k += 8) memcpy(dst + o + k, dst + s + k, 8);
-      } else {
-        for (; k + 8 <= mlen; k += 8) memcpy(dst + o + k, dst + s + k, 8);
-        for (; k < mlen; ++k) dst[o + k] = dst[s + k];
-      }
-    } else if (off == 1) {
-      memset(dst + o, dst[s], (size_t)mlen);
-    } else {
-      for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[s + k];
-    }
+    match_copy(dst, o, off, mlen, cap);
     o += mlen;
   }
   return o;
@@ -349,8 +355,7 @@ int64_t tpz_lz4p_decode(const uint8_t* src, int64_t n, uint8_t* dst,
     if (m) {
       int64_t off = of[t];
       if (off == 0 || off > o || o + m > (int64_t)on) return -1;
-      int64_t s = o - off;
-      for (int64_t k = 0; k < m; ++k) dst[o + k] = dst[s + k];
+      match_copy(dst, o, off, m, (int64_t)on <= cap ? (int64_t)on : cap);
       o += m;
     }
   }
@@ -858,7 +863,7 @@ int64_t tpz_inflate(const uint8_t* src, int64_t n, uint8_t* dst,
           if (ds < 0 || ds >= 30) return -1;
           int64_t dd = kDistBase[ds] + (int64_t)br.bits(kDistEb[ds]);
           if (!br.ok || dd > o || o + mlen > cap) return -1;
-          for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[o - dd + k];
+          match_copy(dst, o, dd, mlen, cap);
           o += mlen;
         }
       }
