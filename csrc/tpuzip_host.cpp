@@ -733,12 +733,30 @@ struct BitRd {
     cnt -= k;
     return v;
   }
+  // peek k bits without consuming; zero-padded past the stream end (a
+  // valid stream never decodes into the padding)
+  uint32_t peek(int k) {
+    while (cnt < k && pos < n) {
+      buf |= (uint32_t)p[pos++] << cnt;
+      cnt += 8;
+    }
+    return buf & ((1u << k) - 1);
+  }
+  void consume(int k) {
+    buf >>= k;
+    cnt -= k;
+  }
 };
 
 struct Huf {
-  // canonical decode tables: count[len], symbols sorted by (len, sym)
+  // canonical decode tables: count[len], symbols sorted by (len, sym),
+  // plus a 10-bit root lookup (zlib-style): fast[peeked bits] packs
+  // (len << 12 | sym) for codes <= FAST_BITS long; longer codes take the
+  // bit-by-bit canonical walk.
+  static const int FAST_BITS = 10;
   int16_t count[16];
   int16_t sym[320];
+  uint16_t fast[1 << FAST_BITS];
   bool build(const uint8_t* lengths, int n) {
     for (int i = 0; i < 16; ++i) count[i] = 0;
     for (int i = 0; i < n; ++i) count[lengths[i]]++;
@@ -753,9 +771,36 @@ struct Huf {
     for (int l = 1; l < 15; ++l) offs[l + 1] = offs[l] + count[l];
     for (int i = 0; i < n; ++i)
       if (lengths[i]) sym[offs[lengths[i]]++] = (int16_t)i;
+    // root table: canonical first-code arithmetic, indices are the next
+    // FAST_BITS stream bits (LSB-first), so codes enter bit-reversed
+    memset(fast, 0, sizeof(fast));
+    int code = 0, index = 0;
+    for (int l = 1; l <= FAST_BITS; ++l) {
+      code <<= 1;
+      for (int k = 0; k < count[l]; ++k, ++code, ++index) {
+        // reverse the l-bit code
+        uint32_t rev = 0, c = (uint32_t)code;
+        for (int b = 0; b < l; ++b) {
+          rev = (rev << 1) | (c & 1);
+          c >>= 1;
+        }
+        uint16_t entry = (uint16_t)((l << 12) | (uint16_t)sym[index]);
+        for (uint32_t j = rev; j < (1u << FAST_BITS); j += (1u << l))
+          fast[j] = entry;
+      }
+    }
     return true;
   }
   int decode(BitRd& br) const {
+    uint16_t e = fast[br.peek(FAST_BITS)];
+    if (e) {
+      int l = e >> 12;
+      // peek() zero-pads at the stream end; a code longer than the bits
+      // actually left must fail like bits() would
+      if (br.cnt < l) { br.ok = false; return -1; }
+      br.consume(l);
+      return (int)(e & 0xFFF);
+    }
     int code = 0, first = 0, index = 0;
     for (int l = 1; l < 16; ++l) {
       code |= (int)br.bits(1);
