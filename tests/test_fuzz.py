@@ -127,3 +127,39 @@ def test_corpus_container_fuzz(rng):
         except (TpzError, ValueError, OverflowError, struct.error,
                 MemoryError):
             pass
+
+
+def test_fuzz_new_native_decoders_no_crash(rng):
+    """Random garbage into the round-3 C++ decoders (lz4 full, lz4p, dc,
+    bin/apm, ari) must produce negative statuses or wrong bytes — never
+    crashes or out-of-bounds writes (outputs are checked for size)."""
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    B, cap, out_cap = 16, 600, 2048
+    for trial in range(8):
+        comp = rng.integers(0, 256, (B, cap), dtype=np.uint8)
+        if trial % 2:  # sprinkle plausible structure
+            comp[:, 0] = 0x10 * (trial % 16)
+        clens = rng.integers(0, cap, B).astype(np.int32)
+        olens = rng.integers(0, out_cap, B).astype(np.int32)
+        out, st = native.lz4_decompress_batch(comp, clens, out_cap)
+        assert out.shape == (B, out_cap)
+        out, st = native.lz4p_decode_batch_native(comp, clens, out_cap)
+        assert out.shape == (B, out_cap)
+        out, st = native.dc_decode_batch(comp, clens, out_cap)
+        assert out.shape == (B, out_cap)
+        out = native.ari_decode_batch_native(comp, clens, olens, out_cap)
+        assert out.shape == (B, out_cap)
+        for apm in (False, True):
+            out = native.bin_decode_batch_native(comp, clens, olens,
+                                                 out_cap, use_apm=apm)
+            assert out.shape == (B, out_cap)
+        # inflate on garbage must raise its typed error (strict) or emit
+        # bounded output — never crash
+        try:
+            out, g = native.inflate_batch_native(comp, clens, out_cap)
+            assert out.shape == (B, out_cap)
+        except ValueError:
+            pass
