@@ -188,3 +188,37 @@ def test_bin_coder_kernel_interpret_bit_exact(rng):
                 use_apm=use_apm)
             want = np.asarray(comp)[: int(clen)].tobytes()
             assert streams[i] == want, (use_apm, i)
+
+
+def test_dc_scan_kernel_interpret_oracle_parity(rng):
+    """The Pallas DC run-walk decode kernel executes on CPU under the TPU
+    interpreter and must decode oracle streams bit-exactly (incl. a
+    corrupt stream flagging err for its lane only)."""
+    from tpuzip.codecs import dc as jdc
+    from tpuzip.oracle import dc as odc
+
+    n = 512
+    blocks = [
+        (b"abracadabra banana " * 40)[:n],
+        rng.integers(0, 3, n, dtype=np.uint8).tobytes(),
+        bytes(n),
+        rng.integers(0, 256, n, dtype=np.uint8).tobytes(),
+    ]
+    comps = [odc.encode(bk) for bk in blocks]
+    cap = max(len(c) for c in comps) + 8
+    rows = np.zeros((4, cap), np.uint8)
+    lens = np.zeros(4, np.int32)
+    for i, c in enumerate(comps):
+        rows[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    out, olens, errs = jdc.decode_batch_kernel(
+        jnp.array(rows), jnp.array(lens), n, n, interpret=_interp())
+    assert not np.asarray(errs)[:4].any()
+    for i, bk in enumerate(blocks):
+        assert np.asarray(out)[i, :n].tobytes() == bk, i
+    bad = rows.copy()
+    bad[2, 4] = 0xFF  # clobber block 2's first-occurrence table
+    out, olens, errs = jdc.decode_batch_kernel(
+        jnp.array(bad), jnp.array(lens), n, n, interpret=_interp())
+    errs = np.asarray(errs)[:4]
+    assert errs[2] != 0 and errs[[0, 1, 3]].sum() == 0
