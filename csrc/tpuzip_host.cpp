@@ -1584,27 +1584,54 @@ int64_t tpz_rle_encode(const uint8_t* src, int64_t n, uint8_t* dst,
 
 int64_t tpz_rle_decode(const uint8_t* src, int64_t n, uint8_t* dst,
                        int64_t cap) {
+  // a run trigger is an ADJACENT EQUAL PAIR in the stream (the second
+  // byte of the pair re-arms only after its count bytes), so decode =
+  // memcpy the literal stretch up to the next pair, then memset the run.
+  // The pair search runs 7 positions per u64 step (zero-byte trick on
+  // x ^ (x >> 8)).  Byte-identical to the sequential formulation.
   int64_t i = 0, o = 0;
-  int prev = -1;
   while (i < n) {
-    uint8_t b = src[i++];
-    if (o + 1 > cap) return -1;
-    dst[o++] = b;
-    if (b == prev) {
-      int64_t extra = 0;
-      uint8_t c;
-      do {
-        if (i >= n) return -1;
-        c = src[i++];
-        extra += c;
-      } while (c == 255);
-      if (o + extra > cap) return -1;
-      memset(dst + o, b, (size_t)extra);
-      o += extra;
-      prev = -1;
-    } else {
-      prev = b;
+    int64_t k = i;
+    for (;;) {
+      if (k + 8 <= n) {
+        uint64_t x;
+        memcpy(&x, src + k, 8);
+        uint64_t d = (x ^ (x >> 8)) | 0xFF00000000000000ull;
+        uint64_t z = (d - 0x0101010101010101ull) & ~d &
+                     0x8080808080808080ull;
+        if (z) {
+          k += (int64_t)(__builtin_ctzll(z) >> 3);
+          break;
+        }
+        k += 7;
+      } else {
+        while (k + 1 < n && src[k] != src[k + 1]) ++k;
+        if (k + 1 >= n) k = n;  // no pair: trailing literals only
+        break;
+      }
     }
+    if (k == n) {  // copy the tail, done
+      int64_t lit = n - i;
+      if (o + lit > cap) return -1;
+      memcpy(dst + o, src + i, (size_t)lit);
+      return o + lit;
+    }
+    // literal stretch through BOTH pair bytes, then the count
+    int64_t lit = k + 2 - i;
+    if (o + lit > cap) return -1;
+    memcpy(dst + o, src + i, (size_t)lit);
+    o += lit;
+    i = k + 2;
+    int64_t extra = 0;
+    uint8_t c;
+    do {
+      if (i >= n) return -1;
+      c = src[i++];
+      extra += c;
+    } while (c == 255);
+    if (o + extra > cap) return -1;
+    memset(dst + o, src[k], (size_t)extra);
+    o += extra;
   }
   return o;
 }
