@@ -271,22 +271,24 @@ def main() -> None:
         if liblz4.available():  # bit-interop gate both directions
             piece = comp_np[0, : clens_np[0]].tobytes()
             assert liblz4.decompress_block(piece, N) == blocks[0].tobytes()
-        # word-granular plan (csrc tpz_lz4_decode_wplan_batch, threaded):
-        # one 2-wide row gather per 4 output bytes + boundary patches
+        # dword-granular plan (csrc tpz_lz4_decode_wplan8_batch, threaded):
+        # one row gather per 8 output bytes + boundary patches — won the
+        # 3-way chip A/B (bench/wplan_ab.py: 233.6/262.9/215.1 MB/s for
+        # 4/8/16 B rows), the runner's LZ4_DECODE_PLAN default
         cpad = comp_np[:, : (int(clens_np.max()) + 3) & ~3]
         t0 = time.perf_counter()
-        wplans, patches, st, _u = native.lz4_decode_wplan_batch(
+        wplans, patches, st, _u = native.lz4_decode_wplan8_batch(
             cpad, clens_np.astype(np.int32), N)
         lz_dec_host = Bl * N / (time.perf_counter() - t0)
         assert (st == N).all()
         jcomp, jpat = jnp.array(cpad), jnp.array(patches)
         jwp, jolens = jnp.array(wplans), jnp.full(Bl, N, jnp.int32)
         g_sync = jax.jit(lambda c, p, w, o: jnp.sum(
-            jlz4._gather_wplan(c, p, w, o)[:4, :4].astype(jnp.int32)))
+            jlz4._gather_wplan8(c, p, w, o)[:4, :4].astype(jnp.int32)))
         int(g_sync(jcomp, jpat, jwp, jolens))
         lz_dec_dev = Bl * N / timed(lambda: int(g_sync(jcomp, jpat, jwp,
                                                        jolens)))
-        outp = np.asarray(jlz4._gather_wplan(jcomp, jpat, jwp, jolens))
+        outp = np.asarray(jlz4._gather_wplan8(jcomp, jpat, jwp, jolens))
         assert outp[0].tobytes() == blocks[0].tobytes()
         assert outp[Bl - 1].tobytes() == blocks[Bl - 1].tobytes()
     lz_dec = (1.0 / (1.0 / lz_dec_host + 1.0 / lz_dec_dev)

@@ -36,8 +36,10 @@ from tpuzip.runtime.errors import (BlockLengthError, ChecksumError,
 MAGIC = b"TPZ1"
 # LZ4 planned-decode granularity: "wplan" (4 B/gather-row), "wplan8"
 # (8 B/row) or "wplan16" (16 B/row — quarter the rows).  Runtime choice,
-# not container format; bench/wplan_ab.py picks on measurement.
-LZ4_DECODE_PLAN = "wplan"
+# not container format; bench/wplan_ab.py picks on measurement — chip
+# A/B 2026-08-18 (B=128×64 KiB text): wplan4 233.6, wplan8 262.9,
+# wplan16 215.1 MB/s device gather → wplan8 is production.
+LZ4_DECODE_PLAN = "wplan8"
 
 
 def corpus_adler32(data: bytes) -> int:
@@ -1168,10 +1170,9 @@ def decompress(container: bytes, mesh: Mesh | None = None,
             elif planned:
                 # host-parse/device-copy-plan path: C++ token parse, bulk
                 # device gathers (VERDICT r1 item 3).  LZ4_DECODE_PLAN
-                # picks the plan granularity: "wplan" = one gather row
-                # per 4 output bytes (measured default), "wplan8" = one
-                # per 8 (half the rows; flip the default if the on-chip
-                # A/B confirms the win)
+                # picks the plan granularity: "wplan8" (one gather row
+                # per 8 output bytes) won the 3-way chip A/B
+                # (bench/wplan_ab.py)
                 fn = {"wplan8": jlz4.decode_batch_wplanned8,
                       "wplan16": jlz4.decode_batch_wplanned16,
                       }.get(LZ4_DECODE_PLAN, jlz4.decode_batch_wplanned)
