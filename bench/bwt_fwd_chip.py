@@ -1,0 +1,36 @@
+"""Chip timing for the batched BWT forward (packed-u32 doubling sort).
+
+Measures jbwt.encode_batch_fast on (128, 64 KiB) full rows — the config-4
+shape — plus a correctness gate vs the oracle.  Used for the round-3
+unstable-sort A/B (the doubling rounds never consume within-tie order, so
+every sort in the loop drops the stable-iota tiebreak operand).
+"""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from bench import make_corpus, timed
+from tpuzip.codecs import bwt as jbwt
+from tpuzip.oracle import bwt as obwt
+
+B, N = 128, 1 << 16
+data = make_corpus(B * N)
+blocks = np.frombuffer(data, np.uint8).reshape(B, N)
+jb = jnp.array(blocks)
+jl = jnp.full(B, N, jnp.int32)
+
+fwd = jax.jit(lambda b_, l: jbwt.encode_batch_fast(b_, l)[0])
+sync = jax.jit(lambda b_, l: jnp.sum(
+    jbwt.encode_batch_fast(b_, l)[0][:8, :8].astype(jnp.int32)))
+int(sync(jb, jl))
+s = timed(lambda: int(sync(jb, jl)))
+
+L = np.asarray(fwd(jb, jl))
+Lo, oo = obwt.encode_block(blocks[3].tobytes())
+assert L[3].tobytes() == Lo, "not bit-exact vs oracle"
+
+print(json.dumps({"bwt_forward_MBps": round(B * N / s / 1e6, 1),
+                  "B": B, "N": N}))
