@@ -22,13 +22,15 @@ blocks = np.frombuffer(data, np.uint8).reshape(B, N)
 jb = jnp.array(blocks)
 jl = jnp.full(B, N, jnp.int32)
 
-fwd = jax.jit(lambda b_, l: jbwt.encode_batch_fast(b_, l)[0])
+# _encode_batch_fast is the jitted inner (encode_batch_fast inspects
+# lengths in Python to pick all_full); sync via a scalar-reduction fetch
 sync = jax.jit(lambda b_, l: jnp.sum(
-    jbwt.encode_batch_fast(b_, l)[0][:8, :8].astype(jnp.int32)))
+    jbwt._encode_batch_fast(b_, l, all_full=True)[0][:8, :8]
+    .astype(jnp.int32)))
 int(sync(jb, jl))
 s = timed(lambda: int(sync(jb, jl)))
 
-L = np.asarray(fwd(jb, jl))
+L = np.asarray(jbwt._encode_batch_fast(jb, jl, all_full=True)[0])
 Lo, oo = obwt.encode_block(blocks[3].tobytes())
 assert L[3].tobytes() == Lo, "not bit-exact vs oracle"
 

@@ -162,13 +162,6 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # with operand count, which is the measured bottleneck (244M keys/s).
     packed = all_full and n <= (1 << 16)
 
-    # Stability note: every sort in the doubling loop may be UNSTABLE.
-    # Tied keys all receive the same rank (ranks_sorted depends only on
-    # key-change boundaries), so within-tie order never reaches the
-    # output; `order` is consumed as the suffix array only on the
-    # resolving round, where keys are all-unique and the permutation is
-    # determined.  XLA's stable sort pays an internal iota tiebreak
-    # operand — dropping it removes one operand from every sort.
     def inv_perm(order_, vals):
         """rank[p] = vals at sorted position of p (permutation inversion
         via sort — faster than scatter on v5e)."""
@@ -176,9 +169,8 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
             pk = (order_.astype(jnp.uint32) << 16) | vals.astype(jnp.uint32)
             return lax.sort(pk, dimension=1).astype(
                 jnp.int32) & jnp.int32(0xFFFF)
-        # order_ is a permutation — keys unique, stability irrelevant
         _, out = lax.sort([order_, vals], dimension=1, num_keys=1,
-                          is_stable=False)
+                          is_stable=True)
         return out
 
     if packed:
@@ -195,7 +187,7 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
                 for j in range(h0 // 3)]
         keys = [jnp.where(valid, kk, jnp.int32(0x7FFFFFFF)) for kk in keys]
     *ks, order = lax.sort(keys + [idx], dimension=1, num_keys=len(keys),
-                          is_stable=False)
+                          is_stable=True)
     diff = (ks[0][:, 1:] != ks[0][:, :-1])
     for kk in ks[1:]:
         diff = diff | (kk[:, 1:] != kk[:, :-1])
@@ -247,7 +239,7 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
                 (ranks_at[2].astype(jnp.uint32) << 16)
                 | ranks_at[3].astype(jnp.uint32)]
         *kr, order = lax.sort(ranks_at + [idx], dimension=1,
-                              num_keys=len(ranks_at), is_stable=False)
+                              num_keys=len(ranks_at), is_stable=True)
         diff = (kr[0][:, 1:] != kr[0][:, :-1])
         for kk in kr[1:]:
             diff = diff | (kk[:, 1:] != kk[:, :-1])
