@@ -22,17 +22,21 @@ blocks = np.frombuffer(data, np.uint8).reshape(B, N)
 jb = jnp.array(blocks)
 jl = jnp.full(B, N, jnp.int32)
 
-# _encode_batch_fast is the jitted inner (encode_batch_fast inspects
-# lengths in Python to pick all_full); sync via a scalar-reduction fetch
-sync = jax.jit(lambda b_, l: jnp.sum(
-    jbwt._encode_batch_fast(b_, l, all_full=True)[0][:8, :8]
-    .astype(jnp.int32)))
-int(sync(jb, jl))
-s = timed(lambda: int(sync(jb, jl)))
-
-L = np.asarray(jbwt._encode_batch_fast(jb, jl, all_full=True)[0])
 Lo, oo = obwt.encode_block(blocks[3].tobytes())
-assert L[3].tobytes() == Lo, "not bit-exact vs oracle"
+for way in (4, 8):
+    jbwt.PACKED_WAY = way
+    jax.clear_caches()
+    # _encode_batch_fast is the jitted inner (encode_batch_fast inspects
+    # lengths in Python to pick all_full); sync via scalar-reduction fetch
+    sync = jax.jit(lambda b_, l: jnp.sum(
+        jbwt._encode_batch_fast(b_, l, all_full=True)[0][:8, :8]
+        .astype(jnp.int32)))
+    int(sync(jb, jl))
+    s = timed(lambda: int(sync(jb, jl)))
 
-print(json.dumps({"bwt_forward_MBps": round(B * N / s / 1e6, 1),
-                  "B": B, "N": N}))
+    L = np.asarray(jbwt._encode_batch_fast(jb, jl, all_full=True)[0])
+    assert L[3].tobytes() == Lo, f"way={way} not bit-exact vs oracle"
+
+    print(json.dumps({"packed_way": way,
+                      "bwt_forward_MBps": round(B * N / s / 1e6, 1),
+                      "B": B, "N": N}), flush=True)

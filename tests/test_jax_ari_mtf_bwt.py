@@ -1,5 +1,6 @@
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from tpuzip.codecs import ari as jari, bwt as jbwt, mtf as jmtf
@@ -124,9 +125,17 @@ def test_bwt_encode_batch_fast_packed_mode(rng):
             np.zeros(n, np.uint8),                            # constant
         ])
         lens = np.full(4, n, np.int32)
-        L, origins = _encode_batch_fast(jnp.array(rows), jnp.array(lens),
-                                        all_full=True)
-        for i in range(4):
-            want_L, want_o = obwt.encode_block(rows[i].tobytes())
-            assert np.asarray(L)[i].tobytes() == want_L, (n, i)
-            assert int(np.asarray(origins)[i]) == want_o, (n, i)
+        for way in (4, 8):   # both PACKED_WAY rank-combination widths
+            jbwt.PACKED_WAY = way
+            try:
+                # fresh jit wrapper: PACKED_WAY is read at trace time
+                fn = jax.jit(_encode_batch_fast.__wrapped__,
+                             static_argnames=("all_full",))
+                L, origins = fn(jnp.array(rows), jnp.array(lens),
+                                all_full=True)
+                for i in range(4):
+                    want_L, want_o = obwt.encode_block(rows[i].tobytes())
+                    assert np.asarray(L)[i].tobytes() == want_L, (way, n, i)
+                    assert int(np.asarray(origins)[i]) == want_o, (way, n, i)
+            finally:
+                jbwt.PACKED_WAY = 4

@@ -106,6 +106,11 @@ decode_batch = jax.vmap(decode_block, in_axes=(0, 0, 0))
 
 import functools
 
+# Rank-combination width for the packed (full-row, n<=64K) doubling sort:
+# ranks fetched per round at k..(PACKED_WAY-1)k, context ×PACKED_WAY per
+# round.  Trace-time constant; bench/bwt_fwd_chip.py A/Bs 4 vs 8.
+PACKED_WAY = 4
+
 
 def encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray):
     """(B, N) u8 + (B,) i32 -> (L (B, N) u8, origins (B,) i32).
@@ -161,6 +166,7 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # single-key sort ((value << 16) | payload).  lax.sort cost scales
     # with operand count, which is the measured bottleneck (244M keys/s).
     packed = all_full and n <= (1 << 16)
+    assert PACKED_WAY in (4, 8) and PACKED_WAY % 2 == 0
 
     def inv_perm(order_, vals):
         """rank[p] = vals at sorted position of p (permutation inversion
@@ -223,21 +229,24 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
         return (~done) & (k < n)
 
     # Rank-combination width per round: rolls are ~free when every row is
-    # full, so fetch ranks at k, 2k, 3k and sort 4 keys — context grows 4x
-    # per round (log4 rounds) for one extra sort operand per extra way.
+    # full, so fetch ranks at k, 2k, .., (way-1)k and sort `way` keys —
+    # context grows way× per round (log_way rounds) for one extra sort
+    # operand per extra way.  Packed mode pairs 16-bit ranks into u32
+    # keys, so PACKED_WAY ranks cost PACKED_WAY/2 sort operands; sort
+    # volume per context-bit is ~flat in way, but wider rounds mean fewer
+    # per-round fixed passes (diff/cumsum/inv_perm/unique_done).
     # Ragged batches pay a gather per way, so they stay at doubling.
-    way = 4 if all_full else 2
+    way = (PACKED_WAY if packed else 4) if all_full else 2
 
     def body(state):
         rank, k, _, _ = state
         ranks_at = [rank] + [second_at(rank, k * j)
                              for j in range(1, way)]
-        if packed:  # two u32 keys carry all four 16-bit ranks
+        if packed:  # u32 keys carry 16-bit rank PAIRS
             ranks_at = [
-                (ranks_at[0].astype(jnp.uint32) << 16)
-                | ranks_at[1].astype(jnp.uint32),
-                (ranks_at[2].astype(jnp.uint32) << 16)
-                | ranks_at[3].astype(jnp.uint32)]
+                (ranks_at[2 * i].astype(jnp.uint32) << 16)
+                | ranks_at[2 * i + 1].astype(jnp.uint32)
+                for i in range(way // 2)]
         *kr, order = lax.sort(ranks_at + [idx], dimension=1,
                               num_keys=len(ranks_at), is_stable=True)
         diff = (kr[0][:, 1:] != kr[0][:, :-1])
