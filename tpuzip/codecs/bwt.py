@@ -108,8 +108,9 @@ import functools
 
 # Rank-combination width for the packed (full-row, n<=64K) doubling sort:
 # ranks fetched per round at k..(PACKED_WAY-1)k, context ×PACKED_WAY per
-# round.  Trace-time constant; bench/bwt_fwd_chip.py A/Bs 4 vs 8.
-PACKED_WAY = 4
+# round.  Trace-time constant; bench/bwt_fwd_chip.py A/Bs the widths —
+# chip 2026-08-19 (128×64 KiB text): way-4 47.6, way-8 52.9 MB/s.
+PACKED_WAY = 8
 
 
 def encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray):
@@ -166,7 +167,7 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # single-key sort ((value << 16) | payload).  lax.sort cost scales
     # with operand count, which is the measured bottleneck (244M keys/s).
     packed = all_full and n <= (1 << 16)
-    assert PACKED_WAY in (4, 8) and PACKED_WAY % 2 == 0
+    assert PACKED_WAY in (4, 8, 16) and PACKED_WAY % 2 == 0
 
     def inv_perm(order_, vals):
         """rank[p] = vals at sorted position of p (permutation inversion
