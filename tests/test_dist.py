@@ -296,6 +296,38 @@ def test_decompress_to_device():
         assert got == data, codec
 
 
+def test_decompress_to_device_sliced_gather():
+    """Batches wider than ~1.5x LZ4_DECODE_SLICE are served through
+    256-row gather slices (chip sweep: the bulk gather peaks at B=256);
+    the sliced path must byte-match the one-shot path, including a
+    ragged tail slice and corrupt-block isolation."""
+    import jax
+
+    mesh = meshlib.make_mesh(8)
+    rng = np.random.default_rng(11)
+    words = [b"slice", b"gather", b"plan", b"tpz "]
+    data = b"".join(words[int(i)] for i in rng.integers(0, 4, 220_000))
+    c = runner.compress(data, codec="lz4", block_size=512, mesh=mesh)
+    # > 384 blocks so the sliced branch triggers with a ragged tail
+    nblocks = -(-len(data) // 512)
+    assert nblocks > runner.LZ4_DECODE_SLICE * 3 // 2
+    blocks, olens, orig = runner.decompress(c, mesh=mesh, to_device=True)
+    assert isinstance(blocks, jax.Array)
+    got = b"".join(np.asarray(blocks)[i, : olens[i]].tobytes()
+                   for i in range(blocks.shape[0]))[:orig]
+    assert got == data
+    # corruption in a late slice still raises with the right block index
+    bad = bytearray(c)
+    bad[-40] ^= 0x5A
+    import pytest
+    from tpuzip.runtime.errors import (BlockLengthError, ChecksumError,
+                                       CorruptStreamError)
+
+    with pytest.raises((CorruptStreamError, ChecksumError,
+                        BlockLengthError, ValueError)):
+        runner.decompress(bytes(bad), mesh=mesh, to_device=True)
+
+
 def test_compress_from_device_roundtrip():
     """Device-resident blocks -> standard tpz container (corpus Adler-32
     combined from per-block device sums) -> decompress restores; also

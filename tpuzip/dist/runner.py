@@ -40,6 +40,10 @@ MAGIC = b"TPZ1"
 # A/B 2026-08-18 (B=128×64 KiB text): wplan4 233.6, wplan8 262.9,
 # wplan16 215.1 MB/s device gather → wplan8 is production.
 LZ4_DECODE_PLAN = "wplan8"
+# Bulk-gather batch sweet spot (bench/wplan_width.py chip sweep:
+# 265 / 406 / 321 MB/s at B=128/256/512): big to_device batches are
+# served in slices of this many blocks.
+LZ4_DECODE_SLICE = 256
 
 
 def corpus_adler32(data: bytes) -> int:
@@ -1176,7 +1180,22 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 fn = {"wplan8": jlz4.decode_batch_wplanned8,
                       "wplan16": jlz4.decode_batch_wplanned16,
                       }.get(LZ4_DECODE_PLAN, jlz4.decode_batch_wplanned)
-                out, olens_dev, errs = fn(comp, clens, block_size)
+                nb = comp.shape[0]
+                if nb > LZ4_DECODE_SLICE + LZ4_DECODE_SLICE // 2:
+                    # the bulk gather peaks at ~256 blocks (chip sweep
+                    # bench/wplan_width.py: 265/406/321 MB/s at B=128/
+                    # 256/512) — serve big batches in 256-row slices
+                    parts = [fn(comp[i : i + LZ4_DECODE_SLICE],
+                                clens[i : i + LZ4_DECODE_SLICE],
+                                block_size)
+                             for i in range(0, nb, LZ4_DECODE_SLICE)]
+                    out = jnp.concatenate([p[0] for p in parts])
+                    olens_dev = np.concatenate(
+                        [np.asarray(p[1]) for p in parts])
+                    errs = np.concatenate(
+                        [np.asarray(p[2]) for p in parts])
+                else:
+                    out, olens_dev, errs = fn(comp, clens, block_size)
             else:
                 out, olens_dev, errs = jax.jit(
                     lambda c, l: _decode_batch(codec, c, l, block_size))(
