@@ -133,23 +133,23 @@ def main() -> None:
             "metric": "ari_encode+decode_throughput", "value": 0.0,
             "unit": "GB/s/chip", "vs_baseline": 0.0,
             "detail": {**detail,
-                       "error": "no TPU visible — kernels not run (the "
-                                "axon relay died mid-round-2 2026-08-18 "
-                                "and stayed down through round 3)",
+                       "error": "no TPU visible — kernels not run "
+                                "(relay port probe failed)",
                        "host_production_stages_r3": host,
                        "scale_rehearsal": "bench/scale_r3.json (1 GiB "
                                           "per codec + kill/resume)",
                        "last_real_chip_run": {
-                           "when": "2026-08-17 22:18 (round 2)",
-                           "value_GBps_chip": 0.2795,
-                           "vs_baseline": 10.0,
-                           "ari": {"encode_MBps": 284.9,
-                                   "decode_MBps": 274.3},
-                           "mtf_kernel_MBps": 958.7,
-                           "lz4": {"encode_MBps": 771.1,
-                                   "decode_MBps": 161.6},
-                           "bwt": {"forward_MBps": 39.4,
-                                   "inverse_MBps": 371.9},
+                           "when": "2026-08-18 22:5x (round 3, driver "
+                                   "format)",
+                           "value_GBps_chip": 0.2701,
+                           "vs_baseline": 4.682,
+                           "ari": {"encode_MBps": 284.1,
+                                   "decode_MBps": 257.3},
+                           "mtf_kernel_MBps": 988.3,
+                           "lz4": {"encode_MBps": 921.5,
+                                   "decode_MBps": 135.6},
+                           "bwt": {"forward_MBps": 49.0,
+                                   "inverse_MBps": 314.1},
                            "log": "bench/RESULTS.md"}}}))
         return
 
@@ -251,7 +251,9 @@ def main() -> None:
     # threaded C++ wplan parse feeding the device bulk gather.  The XLA
     # device encoder remains the TPU formulation; its number is reported
     # separately at Bl=32 (per-iteration gather cost scales with width).
-    Bl = 128
+    # Bl=256 matches the runner's LZ4_DECODE_SLICE (the gather's measured
+    # sweet spot: 265/406/321 MB/s at 128/256/512, bench/wplan_width.py).
+    Bl = 256
     lz_enc_dev = 0.0
     jb32 = jnp.array(blocks[:32])
     jl32 = jnp.full(32, N, jnp.int32)
@@ -262,15 +264,17 @@ def main() -> None:
     lz_enc = lz_dec_host = lz_dec_dev = 0.0
     ratio = 0.0
     if native.available():
-        lens128 = np.full(Bl, N, np.int32)
+        lz_data = make_corpus(Bl * N)
+        lz_blocks = np.frombuffer(lz_data, np.uint8).reshape(Bl, N)
+        lens_b = np.full(Bl, N, np.int32)
         t0 = time.perf_counter()
-        comp_np, cl64 = native.lz4_compress_batch(blocks, lens128)
+        comp_np, cl64 = native.lz4_compress_batch(lz_blocks, lens_b)
         lz_enc = Bl * N / (time.perf_counter() - t0)
         clens_np = cl64.astype(np.int64)
         ratio = float(clens_np.sum()) / (Bl * N)
         if liblz4.available():  # bit-interop gate both directions
             piece = comp_np[0, : clens_np[0]].tobytes()
-            assert liblz4.decompress_block(piece, N) == blocks[0].tobytes()
+            assert liblz4.decompress_block(piece, N) == lz_blocks[0].tobytes()
         # dword-granular plan (csrc tpz_lz4_decode_wplan8_batch, threaded):
         # one row gather per 8 output bytes + boundary patches — won the
         # 3-way chip A/B (bench/wplan_ab.py: 233.6/262.9/215.1 MB/s for
@@ -289,8 +293,8 @@ def main() -> None:
         lz_dec_dev = Bl * N / timed(lambda: int(g_sync(jcomp, jpat, jwp,
                                                        jolens)))
         outp = np.asarray(jlz4._gather_wplan8(jcomp, jpat, jwp, jolens))
-        assert outp[0].tobytes() == blocks[0].tobytes()
-        assert outp[Bl - 1].tobytes() == blocks[Bl - 1].tobytes()
+        assert outp[0].tobytes() == lz_blocks[0].tobytes()
+        assert outp[Bl - 1].tobytes() == lz_blocks[Bl - 1].tobytes()
     lz_dec = (1.0 / (1.0 / lz_dec_host + 1.0 / lz_dec_dev)
               if lz_dec_host and lz_dec_dev else 0.0)
     lz_combined = (2.0 / (1.0 / lz_enc + 1.0 / lz_dec)
@@ -303,7 +307,7 @@ def main() -> None:
         "decode_device_gather_MBps": round(lz_dec_dev / 1e6, 1),
         "ratio": round(ratio, 4)}
     if liblz4.available():
-        piece = data[: Bl * N]
+        piece = lz_data if native.available() else data
         t0 = time.perf_counter()
         cc = liblz4.compress_block(piece)
         ce = len(piece) / (time.perf_counter() - t0)

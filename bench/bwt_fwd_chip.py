@@ -23,7 +23,7 @@ jb = jnp.array(blocks)
 jl = jnp.full(B, N, jnp.int32)
 
 Lo, oo = obwt.encode_block(blocks[3].tobytes())
-for way in (8, 16):
+for way in (8,):
     jbwt.PACKED_WAY = way
     jax.clear_caches()
     # _encode_batch_fast is the jitted inner (encode_batch_fast inspects

@@ -193,8 +193,16 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
         keys = [(cyc(3 * j) << 16) | (cyc(3 * j + 1) << 8) | cyc(3 * j + 2)
                 for j in range(h0 // 3)]
         keys = [jnp.where(valid, kk, jnp.int32(0x7FFFFFFF)) for kk in keys]
-    *ks, order = lax.sort(keys + [idx], dimension=1, num_keys=len(keys),
-                          is_stable=True)
+    # packed mode sorts the PRECEDING byte along as a u8 payload (see the
+    # L-carry note below); prevb is defined before first use here
+    prevb = jnp.roll(blocks, 1, axis=1) if packed else None
+    if packed:
+        *ks, order, lsort0 = lax.sort(keys + [idx, prevb], dimension=1,
+                                      num_keys=len(keys), is_stable=True)
+    else:
+        *ks, order = lax.sort(keys + [idx], dimension=1,
+                              num_keys=len(keys), is_stable=True)
+        lsort0 = jnp.zeros((b, n), jnp.uint8)
     diff = (ks[0][:, 1:] != ks[0][:, :-1])
     for kk in ks[1:]:
         diff = diff | (kk[:, 1:] != kk[:, :-1])
@@ -239,8 +247,14 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # Ragged batches pay a gather per way, so they stay at doubling.
     way = (PACKED_WAY if packed else 4) if all_full else 2
 
+    # Packed mode carries L through the sorts: the BWT output byte for
+    # sorted row i is input[sa[i]-1], so sorting the PRECEDING byte along
+    # as a u8 payload makes the resolving sort emit L directly — killing
+    # the final (B, N) take_along_axis (the gather unit is the slowest
+    # path on this target; the extra payload rides the sort's fixed-cost
+    # stages instead).
     def body(state):
-        rank, k, _, _ = state
+        rank, k, _, _, _ = state
         ranks_at = [rank] + [second_at(rank, k * j)
                              for j in range(1, way)]
         if packed:  # u32 keys carry 16-bit rank PAIRS
@@ -248,8 +262,13 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
                 (ranks_at[2 * i].astype(jnp.uint32) << 16)
                 | ranks_at[2 * i + 1].astype(jnp.uint32)
                 for i in range(way // 2)]
-        *kr, order = lax.sort(ranks_at + [idx], dimension=1,
-                              num_keys=len(ranks_at), is_stable=True)
+            *kr, order, lsort = lax.sort(
+                ranks_at + [idx, prevb], dimension=1,
+                num_keys=len(ranks_at), is_stable=True)
+        else:
+            *kr, order = lax.sort(ranks_at + [idx], dimension=1,
+                                  num_keys=len(ranks_at), is_stable=True)
+            lsort = state[4]
         diff = (kr[0][:, 1:] != kr[0][:, :-1])
         for kk in kr[1:]:
             diff = diff | (kk[:, 1:] != kk[:, :-1])
@@ -259,28 +278,31 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
         # invert the permutation with a second sort (faster than scatter)
         nr = inv_perm(order, rs)
         nr = jnp.where(valid, nr, big)
-        return nr, k * way, unique_done(nr), order
+        return nr, k * way, unique_done(nr), order, lsort
 
     def cond(state):  # noqa: F811 — shadows the 3-tuple variant above
-        rank, k, done, _ = state
+        rank, k, done, _, _ = state
         return (~done) & (k < n)
 
-    rank, _, resolved, last_order = lax.while_loop(
-        cond, body, (rank0, jnp.int32(h0), unique_done(rank0), order))
+    rank, _, resolved, last_order, last_lsort = lax.while_loop(
+        cond, body,
+        (rank0, jnp.int32(h0), unique_done(rank0), order, lsort0))
     # when the loop exited resolved, the resolving round's sort order IS
-    # the suffix array (sorted by now-unique ranks, idx-stable); only the
-    # periodic-tie exit (k >= n) still pays the final sort
+    # the suffix array (sorted by now-unique ranks, idx-stable) and its
+    # carried payload IS L; only the periodic-tie exit (k >= n) still
+    # pays the final sort
     if packed:
         # periodic-tie exit: single-key sort of (rank << 16) | idx — the
         # low bits ARE the stable index tiebreak
         def tie_sort(args):
             pk = (args[0].astype(jnp.uint32) << 16) \
                 | idx.astype(jnp.uint32)
-            return lax.sort(pk, dimension=1).astype(
-                jnp.int32) & jnp.int32(0xFFFF)
+            pks, lt = lax.sort([pk, prevb], dimension=1, num_keys=1,
+                               is_stable=True)
+            return pks.astype(jnp.int32) & jnp.int32(0xFFFF), lt
 
-        sa = lax.cond(resolved, lambda args: args[1], tie_sort,
-                      (rank, last_order))
+        sa, L = lax.cond(resolved, lambda args: (args[1], args[2]),
+                         tie_sort, (rank, last_order, last_lsort))
     else:
         sa = lax.cond(
             resolved,
@@ -288,9 +310,9 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
             lambda args: lax.sort([args[0], idx], dimension=1, num_keys=1,
                                   is_stable=True)[1],
             (rank, last_order))
-    prev = (sa - 1) % safe_len
-    L = jnp.where(valid, jnp.take_along_axis(d, prev, axis=1), 0
-                  ).astype(jnp.uint8)
+        prev = (sa - 1) % safe_len
+        L = jnp.where(valid, jnp.take_along_axis(d, prev, axis=1), 0
+                      ).astype(jnp.uint8)
     origins = jnp.argmax((sa == 0).astype(jnp.int32), axis=1
                          ).astype(jnp.int32)
     origins = jnp.where(lengths > 0, origins, 0)
