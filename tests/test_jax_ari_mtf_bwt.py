@@ -139,3 +139,23 @@ def test_bwt_encode_batch_fast_packed_mode(rng):
                     assert int(np.asarray(origins)[i]) == want_o, (way, n, i)
             finally:
                 jbwt.PACKED_WAY = 4
+
+
+def test_bwt_encode_batch_fast_large_block_L_carry():
+    """n > 64K full rows leave packed mode but keep the L-carry payload
+    (unpacked i32 rank keys + prevb payload); both the resolving-sort and
+    the periodic-tie exits must match the oracle."""
+    from tpuzip.codecs.bwt import _encode_batch_fast
+    from tpuzip.oracle import bwt as obwt
+
+    n = 1 << 17
+    txt = np.frombuffer((b"the quick brown fox jumps " * n)[:n], np.uint8)
+    per = np.tile(np.frombuffer(b"abcd", np.uint8), n // 4)
+    rows = np.stack([txt, per])
+    L, origins = _encode_batch_fast(jnp.array(rows),
+                                    jnp.full(2, n, jnp.int32),
+                                    all_full=True)
+    for i in range(2):
+        want_L, want_o = obwt.encode_block(rows[i].tobytes())
+        assert np.asarray(L)[i].tobytes() == want_L, i
+        assert int(np.asarray(origins)[i]) == want_o, i

@@ -193,10 +193,11 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
         keys = [(cyc(3 * j) << 16) | (cyc(3 * j + 1) << 8) | cyc(3 * j + 2)
                 for j in range(h0 // 3)]
         keys = [jnp.where(valid, kk, jnp.int32(0x7FFFFFFF)) for kk in keys]
-    # packed mode sorts the PRECEDING byte along as a u8 payload (see the
-    # L-carry note below); prevb is defined before first use here
-    prevb = jnp.roll(blocks, 1, axis=1) if packed else None
-    if packed:
+    # Full-row mode sorts the PRECEDING byte along as a u8 payload (see
+    # the L-carry note below); the roll is only cyclic-correct when every
+    # row is full, so ragged batches keep the final gather instead.
+    prevb = jnp.roll(blocks, 1, axis=1) if all_full else None
+    if all_full:
         *ks, order, lsort0 = lax.sort(keys + [idx, prevb], dimension=1,
                                       num_keys=len(keys), is_stable=True)
     else:
@@ -247,12 +248,12 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # Ragged batches pay a gather per way, so they stay at doubling.
     way = (PACKED_WAY if packed else 4) if all_full else 2
 
-    # Packed mode carries L through the sorts: the BWT output byte for
+    # Full-row mode carries L through the sorts: the BWT output byte for
     # sorted row i is input[sa[i]-1], so sorting the PRECEDING byte along
     # as a u8 payload makes the resolving sort emit L directly — killing
     # the final (B, N) take_along_axis (the gather unit is the slowest
     # path on this target; the extra payload rides the sort's fixed-cost
-    # stages instead).
+    # stages instead).  Chip: 52.6 -> 106.1 MB/s at (128, 64 KiB).
     def body(state):
         rank, k, _, _, _ = state
         ranks_at = [rank] + [second_at(rank, k * j)
@@ -262,6 +263,7 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
                 (ranks_at[2 * i].astype(jnp.uint32) << 16)
                 | ranks_at[2 * i + 1].astype(jnp.uint32)
                 for i in range(way // 2)]
+        if all_full:
             *kr, order, lsort = lax.sort(
                 ranks_at + [idx, prevb], dimension=1,
                 num_keys=len(ranks_at), is_stable=True)
@@ -303,6 +305,15 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
 
         sa, L = lax.cond(resolved, lambda args: (args[1], args[2]),
                          tie_sort, (rank, last_order, last_lsort))
+    elif all_full:  # unpacked ranks (n > 64K) but full rows: L still
+        # rides the sorts as a payload
+        def tie_sort_full(args):
+            _, sa_t, lt = lax.sort([args[0], idx, prevb], dimension=1,
+                                   num_keys=1, is_stable=True)
+            return sa_t, lt
+
+        sa, L = lax.cond(resolved, lambda args: (args[1], args[2]),
+                         tie_sort_full, (rank, last_order, last_lsort))
     else:
         sa = lax.cond(
             resolved,
