@@ -125,13 +125,17 @@ static inline int64_t match_extend(const uint8_t* a, const uint8_t* b,
 
 
 // overlap-aware fast match copy (byte-identical to the naive loop):
-// 8-byte wildcopy when offset allows, memset for offset-1 runs; the
-// wildcopy may scribble into [o+mlen, o+mlen+8) inside the buffer, which
-// later writes overwrite — callers pass the writable capacity
+// 16/8-byte wildcopy when the offset allows, memset for offset-1 runs,
+// pattern replication for offsets 2..7; the wildcopy may scribble into
+// [o+mlen, o+mlen+16) inside the buffer, which later writes overwrite —
+// callers pass the writable capacity
 static inline void match_copy(uint8_t* dst, int64_t o, int64_t off,
                               int64_t mlen, int64_t cap) {
   int64_t s = o - off;
-  if (off >= 8) {
+  if (off >= 16 && o + mlen + 16 <= cap) {
+    for (int64_t k = 0; k < mlen; k += 16)
+      memcpy(dst + o + k, dst + s + k, 16);
+  } else if (off >= 8) {
     int64_t k = 0;
     if (o + mlen + 8 <= cap) {
       for (; k < mlen; k += 8) memcpy(dst + o + k, dst + s + k, 8);
@@ -141,6 +145,20 @@ static inline void match_copy(uint8_t* dst, int64_t o, int64_t off,
     }
   } else if (off == 1) {
     memset(dst + o, dst[s], (size_t)mlen);
+  } else if (o + mlen + 16 <= cap) {
+    // off in [2,7]: replicate the period into a 32-byte pattern buffer,
+    // then stamp it at a stride that is a multiple of the period so the
+    // phase stays aligned (stride in [12,16] bytes; <=15 scribble bytes)
+    uint8_t pat[32];
+    memcpy(pat, dst + s, (size_t)off);
+    int64_t d = off;
+    while (d < 16) {
+      memcpy(pat + d, pat, (size_t)d);
+      d *= 2;
+    }
+    int64_t stride = (16 / off) * off;
+    for (int64_t k = 0; k < mlen; k += stride)
+      memcpy(dst + o + k, pat, 16);
   } else {
     for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[s + k];
   }
@@ -216,6 +234,42 @@ int64_t tpz_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
   while (i < n) {
     uint8_t token = src[i++];
     int64_t lit = token >> 4;
+    // shortcut fast path (the liblz4 trick): short literal run + short
+    // match with input/output margin — two fixed-size wildcopies instead
+    // of variable-length memcpy dispatch per sequence.  Bytes written
+    // past the decoded length (within cap) are scribble, same contract
+    // as match_copy.
+    if (lit < 15 && i + 16 <= n && o + 18 <= cap) {
+      memcpy(dst + o, src + i, 16);
+      i += lit;
+      o += lit;
+      uint16_t off;
+      memcpy(&off, src + i, 2);
+      i += 2;
+      if (off == 0 || off > o) return -1;
+      int64_t ml = token & 0xF;
+      if (ml != 15 && off >= 8 && o + 18 <= cap) {
+        int64_t s = o - off;
+        memcpy(dst + o, dst + s, 8);
+        memcpy(dst + o + 8, dst + s + 8, 8);
+        memcpy(dst + o + 16, dst + s + 16, 2);
+        o += ml + 4;
+        continue;
+      }
+      int64_t mlen = ml + 4;
+      if (ml == 15) {
+        uint8_t b;
+        do {
+          if (i >= n) return -1;
+          b = src[i++];
+          mlen += b;
+        } while (b == 255);
+      }
+      if (o + mlen > cap) return -1;
+      match_copy(dst, o, off, mlen, cap);
+      o += mlen;
+      continue;
+    }
     if (lit == 15) {
       uint8_t b;
       do {
@@ -552,115 +606,230 @@ int64_t tpz_lz4_decode_plan(const uint8_t* src, int64_t n, int32_t* plan,
   return o;
 }
 
-// LZ4 decode WORD plan: like tpz_lz4_decode_plan but one i32 address per
-// output *word* (4 bytes), halving the device gather element count (the
-// device fetches two adjacent i32 table words and shift-combines).  Output
-// words whose four source bytes are not contiguous in the compressed
-// stream (run boundaries, overlapping matches, the ragged tail) are
-// materialized into `patch` (4-byte aligned) and addressed as the negative
-// entry -(patch_offset+1); the device reads them shift-free from a virtual
-// table laid out as [comp row | patch row].  Returns the decoded length,
-// -1 on corrupt stream, -2 when `patch` overflows (caller falls back to
-// the byte plan).
+// -------------------------------------------------- run-based wplan parse
+// The wplan builders used to materialize the full per-byte plan (4x the
+// output in i32 writes, then a byte-addressed re-read — ~208 MB/s/thread).
+// The round-4 parse instead full-decodes the block (fast: the shortcut
+// decoder) while recording the output's RUN structure — each literal run
+// is a contiguous comp slice; a match is contiguous iff its source range
+// lies inside ONE earlier contiguous run (transitive contiguity resolved
+// at run granularity, not per byte).  Plan emission then walks aligned
+// W-byte windows against the run list: windows fully inside a contiguous
+// run address the comp stream; everything else is an 8/16-byte memcpy
+// from the decoded output into `patch`.  Window-level contiguity matches
+// the byte plan's verdict exactly except for matches that splice bytes
+// from TWO adjacent comp-contiguous runs — a measured-rare case that only
+// moves a window from "addressed" to "patched" (the decode stays
+// bit-identical; the device gather does not care which side serves it).
+
+namespace {
+
+struct LzRun {
+  int64_t out_start;  // first output byte of this run
+  int64_t comp_src;   // comp position of out_start when the run is a
+                      // contiguous comp slice, else -1
+};
+
+// Full LZ4 block decode recording run structure.  dst must have >=16
+// bytes of wildcopy slack beyond cap (callers decode into a thread-local
+// scratch, never the user buffer).  Appends a {o, -1} sentinel.
+int64_t lz4_decode_runs(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t cap, int64_t wcap,
+                        std::vector<LzRun>& runs) {
+  runs.clear();
+  int64_t i = 0, o = 0;
+  while (i < n) {
+    uint8_t token = src[i++];
+    int64_t lit = token >> 4;
+    // shortcut fast path (same shape as tpz_lz4_decompress): a short
+    // match (<24 bytes) never resolves contiguity, so its run entry is a
+    // straight push — no search
+    // guard: lit+match fit in cap (ml <= 18 here), and all wildcopies fit
+    // in wcap (callers pass wcap >= cap + 32 >> the 19-byte match copy)
+    if (lit < 15 && (token & 0xF) != 15 && i + 16 <= n &&
+        o + lit + 18 <= cap) {
+      if (lit > 0) runs.push_back({o, i});
+      memcpy(dst + o, src + i, 16);
+      i += lit;
+      o += lit;
+      uint16_t off;
+      memcpy(&off, src + i, 2);
+      i += 2;
+      if (off == 0 || off > o) return -1;
+      int64_t ml = (token & 0xF) + 4;
+      runs.push_back({o, -1});
+      if (off >= 8) {
+        int64_t s = o - off;
+        memcpy(dst + o, dst + s, 8);
+        memcpy(dst + o + 8, dst + s + 8, 8);
+        memcpy(dst + o + 16, dst + s + 16, 3);
+      } else {
+        match_copy(dst, o, off, ml, wcap);
+      }
+      o += ml;
+      continue;
+    }
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (i + lit > n || o + lit > cap) return -1;
+    if (lit > 0) {
+      runs.push_back({o, i});
+      if (i + lit + 16 <= n && o + lit + 16 <= wcap) {
+        for (int64_t k = 0; k < lit; k += 16)
+          memcpy(dst + o + k, src + i + k, 16);
+      } else {
+        memcpy(dst + o, src + i, (size_t)lit);
+      }
+      i += lit;
+      o += lit;
+    }
+    if (i >= n) break;
+    if (i + 2 > n) return -1;
+    uint16_t off;
+    memcpy(&off, src + i, 2);
+    i += 2;
+    if (off == 0 || off > o) return -1;
+    int64_t mlen = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        mlen += b;
+      } while (b == 255);
+    }
+    if (o + mlen > cap) return -1;
+    int64_t s = o - off;
+    int64_t csrc = -1;
+    // Resolve transitive contiguity only for matches long enough to hold
+    // aligned windows worth comp-addressing: the binary search's branch
+    // misses cost more than patching the <=2 windows a short match spans
+    // (the all-search variant measured 105 MB/s/thread vs 208 for the old
+    // byte plan; the gate restores the win).
+    if (mlen >= 24 && s + mlen <= o) {
+      // last run with out_start <= s (runs is sorted, never empty here:
+      // off <= o implies at least one literal run precedes)
+      size_t lo = 0, hi = runs.size();
+      while (hi - lo > 1) {
+        size_t mid = (lo + hi) / 2;
+        if (runs[mid].out_start <= s)
+          lo = mid;
+        else
+          hi = mid;
+      }
+      int64_t rend = (lo + 1 < runs.size()) ? runs[lo + 1].out_start : o;
+      if (runs[lo].comp_src >= 0 && s + mlen <= rend)
+        csrc = runs[lo].comp_src + (s - runs[lo].out_start);
+    }
+    runs.push_back({o, csrc});
+    match_copy(dst, o, off, mlen, wcap);
+    o += mlen;
+  }
+  runs.push_back({o, -1});
+  return o;
+}
+
+// Emit the W-byte-granular plan from the run structure, walking RUNS (not
+// windows): each contiguous run's interior windows are an affine wplan
+// fill, and every maximal span of patched windows is ONE bulk memcpy from
+// the decoded output plus an affine negative-address fill — no per-window
+// branching.  `out` needs W readable bytes past o (scratch slack);
+// ragged-tail patch bytes past o are zeroed to preserve the old
+// builders' contract.
+int64_t wplan_from_runs(const uint8_t* out, int64_t o,
+                        const std::vector<LzRun>& runs, int64_t W,
+                        int32_t* wplan, uint8_t* patch, int64_t patch_cap,
+                        int64_t* patch_used) {
+  int64_t pu = 0;
+  int64_t nwin = (o + W - 1) / W;
+  int64_t w = 0;
+  auto patch_span = [&](int64_t w_end) -> bool {  // patch windows [w,w_end)
+    if (w_end <= w) return true;
+    int64_t bytes = (w_end - w) * W;
+    if (pu + bytes > patch_cap) return false;
+    memcpy(patch + pu, out + w * W, (size_t)bytes);
+    for (int64_t k = w; k < w_end; ++k)
+      wplan[k] = (int32_t)(-((k - w) * W + pu + 1));
+    pu += bytes;
+    w = w_end;
+    return true;
+  };
+  for (size_t r = 0; r + 1 < runs.size(); ++r) {
+    if (runs[r].comp_src < 0) continue;
+    int64_t a = runs[r].out_start, b = runs[r + 1].out_start;
+    int64_t wlo = (a + W - 1) / W;  // windows [wlo, whi) fully inside
+    int64_t whi = b / W;
+    if (wlo < w) wlo = w;
+    if (whi <= wlo) continue;
+    if (!patch_span(wlo)) return -2;
+    int64_t base = runs[r].comp_src - a;
+    for (int64_t k = wlo; k < whi; ++k) wplan[k] = (int32_t)(base + k * W);
+    w = whi;
+  }
+  if (!patch_span(nwin)) return -2;
+  // only the final window can extend past o, and when it does (o % W != 0)
+  // it is never a run interior, hence always the last patch entry
+  if (o % W) memset(patch + pu - W + (o % W), 0, (size_t)(W - o % W));
+  *patch_used = pu;
+  return o;
+}
+
+int64_t wplan_generic(const uint8_t* src, int64_t n, int64_t W,
+                      int32_t* wplan, uint8_t* patch, int64_t cap,
+                      int64_t patch_cap, int64_t* patch_used) {
+  thread_local std::vector<uint8_t> scratch;
+  thread_local std::vector<LzRun> runs;
+  if ((int64_t)scratch.size() < cap + 32) scratch.resize((size_t)cap + 32);
+  int64_t o = lz4_decode_runs(src, n, scratch.data(), cap,
+                              cap + 32, runs);
+  if (o < 0) return o;
+  return wplan_from_runs(scratch.data(), o, runs, W, wplan, patch,
+                         patch_cap, patch_used);
+}
+
+}  // namespace
+
+// LZ4 decode WORD plan: one i32 address per output *word* (4 bytes).
+// Output words whose four source bytes are not contiguous in the
+// compressed stream (run boundaries, overlapping matches, the ragged
+// tail) are materialized into `patch` (4-byte aligned) and addressed as
+// the negative entry -(patch_offset+1); the device reads them shift-free
+// from a virtual table laid out as [comp row | patch row].  Returns the
+// decoded length, -1 on corrupt stream, -2 when `patch` overflows
+// (caller falls back to the byte plan).
 int64_t tpz_lz4_decode_wplan(const uint8_t* src, int64_t n, int32_t* wplan,
                              uint8_t* patch, int64_t cap,
                              int64_t patch_cap, int64_t* patch_used) {
-  std::vector<int32_t> bplan((size_t)cap);
-  int64_t o = tpz_lz4_decode_plan(src, n, bplan.data(), cap);
-  if (o < 0) return o;
-  int64_t pu = 0;
-  int64_t words = (o + 3) >> 2;
-  for (int64_t w = 0; w < words; ++w) {
-    int64_t b0 = w << 2;
-    int32_t p0 = bplan[(size_t)b0];
-    bool contig = b0 + 3 < o;
-    if (contig) {
-      contig = bplan[(size_t)(b0 + 1)] == p0 + 1 &&
-               bplan[(size_t)(b0 + 2)] == p0 + 2 &&
-               bplan[(size_t)(b0 + 3)] == p0 + 3;
-    }
-    if (contig) {
-      wplan[w] = p0;
-    } else {
-      if (pu + 4 > patch_cap) return -2;
-      for (int64_t k = 0; k < 4; ++k)
-        patch[pu + k] =
-            (b0 + k < o) ? src[bplan[(size_t)(b0 + k)]] : 0;
-      wplan[w] = (int32_t)(-(pu + 1));
-      pu += 4;
-    }
-  }
-  *patch_used = pu;
-  return o;
+  return wplan_generic(src, n, 4, wplan, patch, cap, patch_cap, patch_used);
 }
 
 // LZ4 decode DWORD plan: one i32 address per output DOUBLE word (8 bytes),
 // halving the device gather ROW count vs tpz_lz4_decode_wplan (the v5e
 // gather unit is row-count bound).  The device fetches three adjacent u32
 // table words covering bytes addr..addr+11 and funnel-shifts two output
-// words.  Non-contiguous dwords are materialized into `patch` (8-byte
-// entries, so patch addresses stay 4-aligned / shift-free) and addressed
-// as -(patch_offset+1).  Returns decoded length, -1 corrupt, -2 patch
-// overflow.
+// words.  Same patch/status contract as tpz_lz4_decode_wplan.
 int64_t tpz_lz4_decode_wplan8(const uint8_t* src, int64_t n, int32_t* wplan,
                               uint8_t* patch, int64_t cap,
                               int64_t patch_cap, int64_t* patch_used) {
-  std::vector<int32_t> bplan((size_t)cap);
-  int64_t o = tpz_lz4_decode_plan(src, n, bplan.data(), cap);
-  if (o < 0) return o;
-  int64_t pu = 0;
-  int64_t dwords = (o + 7) >> 3;
-  for (int64_t w = 0; w < dwords; ++w) {
-    int64_t b0 = w << 3;
-    int32_t p0 = bplan[(size_t)b0];
-    bool contig = b0 + 7 < o;
-    for (int64_t k = 1; contig && k < 8; ++k)
-      contig = bplan[(size_t)(b0 + k)] == p0 + k;
-    if (contig) {
-      wplan[w] = p0;
-    } else {
-      if (pu + 8 > patch_cap) return -2;
-      for (int64_t k = 0; k < 8; ++k)
-        patch[pu + k] = (b0 + k < o) ? src[bplan[(size_t)(b0 + k)]] : 0;
-      wplan[w] = (int32_t)(-(pu + 1));
-      pu += 8;
-    }
-  }
-  *patch_used = pu;
-  return o;
+  return wplan_generic(src, n, 8, wplan, patch, cap, patch_cap, patch_used);
 }
 
 // LZ4 decode QUAD-word plan: one i32 address per SIXTEEN output bytes —
 // quarter the gather rows of tpz_lz4_decode_wplan.  The device fetches
 // five adjacent u32 table words covering bytes addr..addr+19 and
 // funnel-shifts four output words.  Non-contiguous quads go to `patch`
-// (16-byte entries).  Returns decoded length, -1 corrupt, -2 overflow.
+// (16-byte entries).  Same status contract.
 int64_t tpz_lz4_decode_wplan16(const uint8_t* src, int64_t n,
                                int32_t* wplan, uint8_t* patch, int64_t cap,
                                int64_t patch_cap, int64_t* patch_used) {
-  std::vector<int32_t> bplan((size_t)cap);
-  int64_t o = tpz_lz4_decode_plan(src, n, bplan.data(), cap);
-  if (o < 0) return o;
-  int64_t pu = 0;
-  int64_t quads = (o + 15) >> 4;
-  for (int64_t w = 0; w < quads; ++w) {
-    int64_t b0 = w << 4;
-    int32_t p0 = bplan[(size_t)b0];
-    bool contig = b0 + 15 < o;
-    for (int64_t k = 1; contig && k < 16; ++k)
-      contig = bplan[(size_t)(b0 + k)] == p0 + k;
-    if (contig) {
-      wplan[w] = p0;
-    } else {
-      if (pu + 16 > patch_cap) return -2;
-      for (int64_t k = 0; k < 16; ++k)
-        patch[pu + k] = (b0 + k < o) ? src[bplan[(size_t)(b0 + k)]] : 0;
-      wplan[w] = (int32_t)(-(pu + 1));
-      pu += 16;
-    }
-  }
-  *patch_used = pu;
-  return o;
+  return wplan_generic(src, n, 16, wplan, patch, cap, patch_cap,
+                       patch_used);
 }
 
 // Threaded full LZ4 host decode (production path when the output lands on

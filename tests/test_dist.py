@@ -569,3 +569,28 @@ def test_decompress_corpus_multihost_single_process():
     bad[len(bad) // 2] ^= 0x41
     with pytest.raises((ChecksumError, CorruptStreamError, ValueError)):
         multihost.decompress_corpus_multihost(bytes(bad))
+
+
+def test_lz4_to_device_sliced_with_padded_tail():
+    """The sliced to_device gather pads its ragged tail slice to a full
+    LZ4_DECODE_SLICE with zero-clen rows (they decode empty/error-free),
+    so one compiled gather executable serves every slice.  Shrink the
+    slice so CI exercises slicing + padding + trimming."""
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    mesh = meshlib.make_mesh(8)
+    data = (b"sliced serving corpus with some repeated text " * 800)
+    c = runner.compress(data, codec="lz4", block_size=2048, mesh=mesh)
+    old = runner.LZ4_DECODE_SLICE
+    try:
+        runner.LZ4_DECODE_SLICE = 8  # 19 blocks -> slices 8+8+3(pad to 8)
+        blocks, olens, orig = runner.decompress(c, mesh=mesh,
+                                                to_device=True)
+        flat = b"".join(
+            bytes(bytearray(b)[:int(n)])
+            for b, n in zip(blocks, olens))[:orig]
+        assert flat == data
+    finally:
+        runner.LZ4_DECODE_SLICE = old

@@ -125,6 +125,7 @@ def test_bwt_encode_batch_fast_packed_mode(rng):
             np.zeros(n, np.uint8),                            # constant
         ])
         lens = np.full(4, n, np.int32)
+        orig_way = jbwt.PACKED_WAY
         for way in (4, 8):   # both PACKED_WAY rank-combination widths
             jbwt.PACKED_WAY = way
             try:
@@ -138,7 +139,7 @@ def test_bwt_encode_batch_fast_packed_mode(rng):
                     assert np.asarray(L)[i].tobytes() == want_L, (way, n, i)
                     assert int(np.asarray(origins)[i]) == want_o, (way, n, i)
             finally:
-                jbwt.PACKED_WAY = 4
+                jbwt.PACKED_WAY = orig_way
 
 
 def test_bwt_encode_batch_fast_large_block_L_carry():

@@ -253,3 +253,50 @@ def test_native_mtf_dc_batch_oracle_parity(rng):
     bad[1, 5] ^= 0xFF  # corrupt block 1's first-occurrence table
     _, got_bad = native.dc_decode_batch(bad, cl.astype(np.int32), cap)
     assert got_bad[1] < 0 and got_bad[0] == len(chunks[0])
+
+
+def test_native_lz4_run_based_wplan_stress(rng):
+    """Round-4 run-based wplan parse: adversarial corpora exercising the
+    new paths — offsets 2..7 (pattern stamping), long matches >= 24
+    (run-contiguity binary search), overlapping matches, incompressible
+    tails, ragged lengths.  Every plan granularity must reconstruct the
+    input bit-exactly through the oracle plan executor, and the full
+    decoder must agree with the oracle."""
+    from tpuzip.oracle import lz4 as olz4
+
+    corpora = [
+        b"ab" * 3000 + b"xyz",                       # off=2 runs
+        b"abcde" * 1200,                             # off=5 runs
+        b"A" * 5000,                                 # off=1 / RLE
+        (b"longmatchseed-0123456789" * 6 + b"|") * 40,  # matches >= 24
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),  # incompressible
+        (b"the quick brown fox " * 50
+         + bytes(rng.integers(0, 256, 333, dtype=np.uint8))) * 4,
+        b"",                                         # empty block
+        b"tiny",
+        b"abcdefg" * 999 + b"Z" * 7,                 # ragged, off=7
+    ]
+    out_cap = max(len(c) for c in corpora)
+    for data in corpora:
+        comp = native.lz4_compress(data)
+        # full decoder (shortcut fast path) vs oracle
+        assert native.lz4_decompress(comp, len(data)) == data
+        assert olz4.decompress_block(comp, len(data)) == data
+        # every plan width reconstructs via positive (comp-addressed) and
+        # negative (patch) entries
+        for width, fn in ((4, native.lz4_decode_wplan),
+                          (8, native.lz4_decode_wplan8),
+                          (16, native.lz4_decode_wplan16)):
+            wp, pt, nd = fn(comp, out_cap)
+            assert nd == len(data)
+            out = bytearray()
+            for w_i, a in enumerate(wp):
+                if a >= 0:
+                    out += comp[a:a + width]
+                else:
+                    p = -int(a) - 1
+                    out += pt[p:p + width].tobytes()
+            assert bytes(out[: len(data)]) == data
+            # ragged tail bytes inside the final patch entry are zeroed
+            if len(data) % width and len(wp):
+                assert all(b == 0 for b in out[len(data):])

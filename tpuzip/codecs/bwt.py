@@ -120,7 +120,8 @@ def encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray):
     suffix arrays including periodic ties (stable sorts, index tiebreak).
 
     On TPU the batched lax.sort doubling formulation below is production
-    (~39 MB/s/chip, data already device-resident).  Off-TPU the threaded
+    (111 MB/s/chip driver-captured at round 3: packed way-8 rank
+    combination + the L-carry payload).  Off-TPU the threaded
     C++ rotation sort (mkq fast path + SA-IS fallback, ~36 MB/s at 4
     cores, scales with cores) replaces the XLA CPU sort.  Both are
     bit-exact vs the oracle incl. periodic ties."""
@@ -203,6 +204,9 @@ def _encode_batch_fast(blocks: jnp.ndarray, lengths: jnp.ndarray,
     else:
         *ks, order = lax.sort(keys + [idx], dimension=1,
                               num_keys=len(keys), is_stable=True)
+        # dead carry: the ragged path never reads the L payload (it keeps
+        # the final gather), but the while_loop state arity must match the
+        # full-row variant — XLA DCEs the zeros buffer, so no HBM traffic
         lsort0 = jnp.zeros((b, n), jnp.uint8)
     diff = (ks[0][:, 1:] != ks[0][:, :-1])
     for kk in ks[1:]:

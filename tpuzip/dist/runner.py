@@ -1184,16 +1184,31 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 if nb > LZ4_DECODE_SLICE + LZ4_DECODE_SLICE // 2:
                     # the bulk gather peaks at ~256 blocks (chip sweep
                     # bench/wplan_width.py: 265/406/321 MB/s at B=128/
-                    # 256/512) — serve big batches in 256-row slices
-                    parts = [fn(comp[i : i + LZ4_DECODE_SLICE],
-                                clens[i : i + LZ4_DECODE_SLICE],
+                    # 256/512) — serve big batches in 256-row slices.
+                    # The ragged tail is padded to a full slice with
+                    # zero-clen rows (they decode to empty, error-free)
+                    # so ONE compiled 256-row executable serves every
+                    # slice instead of each novel tail size paying a
+                    # fresh XLA compile of the gather graph.
+                    tail = (-nb) % LZ4_DECODE_SLICE
+                    if tail:
+                        comp_p = np.concatenate(
+                            [comp, np.zeros((tail, comp.shape[1]),
+                                            comp.dtype)])
+                        clens_p = np.concatenate(
+                            [clens, np.zeros(tail, clens.dtype)])
+                    else:
+                        comp_p, clens_p = comp, clens
+                    parts = [fn(comp_p[i : i + LZ4_DECODE_SLICE],
+                                clens_p[i : i + LZ4_DECODE_SLICE],
                                 block_size)
-                             for i in range(0, nb, LZ4_DECODE_SLICE)]
-                    out = jnp.concatenate([p[0] for p in parts])
+                             for i in range(0, nb + tail,
+                                            LZ4_DECODE_SLICE)]
+                    out = jnp.concatenate([p[0] for p in parts])[:nb]
                     olens_dev = np.concatenate(
-                        [np.asarray(p[1]) for p in parts])
+                        [np.asarray(p[1]) for p in parts])[:nb]
                     errs = np.concatenate(
-                        [np.asarray(p[2]) for p in parts])
+                        [np.asarray(p[2]) for p in parts])[:nb]
                 else:
                     out, olens_dev, errs = fn(comp, clens, block_size)
             else:

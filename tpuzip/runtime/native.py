@@ -61,6 +61,9 @@ def get_lib():
     lib.tpz_lz4_decode_wplan.restype = i64
     lib.tpz_lz4_decode_wplan.argtypes = [u8p, i64, i32p, u8p, i64, i64,
                                          ctypes.POINTER(ctypes.c_int64)]
+    for nm in ("tpz_lz4_decode_wplan8", "tpz_lz4_decode_wplan16"):
+        getattr(lib, nm).restype = i64
+        getattr(lib, nm).argtypes = lib.tpz_lz4_decode_wplan.argtypes
     lib.tpz_inflate.restype = i64
     lib.tpz_inflate.argtypes = [u8p, i64, u8p, i64]
     lib.tpz_inflate_plan.restype = i64
@@ -254,6 +257,42 @@ def lz4_decode_wplan(data: bytes, out_cap: int,
     if n < 0:
         raise ValueError("tpz_lz4_decode_wplan failed (corrupt stream)")
     return wplan[: (n + 3) // 4], patch[: used.value], n
+
+
+def _wplan_wide(fname: str, width: int, data: bytes, out_cap: int,
+                patch_cap: int | None):
+    """Shared scalar driver for the dword (8B) / quad (16B) plan builders —
+    same contract as lz4_decode_wplan at a wider window granularity."""
+    lib = get_lib()
+    src = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    if patch_cap is None:
+        patch_cap = out_cap + width + 64
+    patch_cap = (patch_cap + width - 1) & ~(width - 1)
+    wplan = np.zeros(max((out_cap + width - 1) // width, 1), np.int32)
+    patch = np.zeros(max(patch_cap, width), np.uint8)
+    used = ctypes.c_int64(0)
+    n = getattr(lib, fname)(_u8(src), len(data), _i32(wplan), _u8(patch),
+                            out_cap, patch_cap, ctypes.byref(used))
+    if n == -2:
+        raise OverflowError(f"{fname} patch budget exceeded")
+    if n < 0:
+        raise ValueError(f"{fname} failed (corrupt stream)")
+    return wplan[: (n + width - 1) // width], patch[: used.value], n
+
+
+def lz4_decode_wplan8(data: bytes, out_cap: int,
+                      patch_cap: int | None = None):
+    """Scalar dword-granular (8-byte) LZ4 copy plan; see
+    lz4_decode_wplan8_batch for the threaded production entry point."""
+    return _wplan_wide("tpz_lz4_decode_wplan8", 8, data, out_cap, patch_cap)
+
+
+def lz4_decode_wplan16(data: bytes, out_cap: int,
+                       patch_cap: int | None = None):
+    """Scalar quad-granular (16-byte) LZ4 copy plan; see
+    lz4_decode_wplan16_batch for the threaded production entry point."""
+    return _wplan_wide("tpz_lz4_decode_wplan16", 16, data, out_cap,
+                       patch_cap)
 
 
 def _i64(arr: np.ndarray):
