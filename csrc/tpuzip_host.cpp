@@ -68,6 +68,27 @@ static inline uint32_t rotl32(uint32_t x, int r) {
   return (x << r) | (x >> (32 - r));
 }
 
+// Bulk 16-byte-stripe update for STREAMING xxh32 (the L4 frame writers'
+// content checksum): v[0..3] is the caller-owned lane state; tail/total
+// bookkeeping stays in Python (oracle.xxh32.Xxh32State semantics).
+void tpz_xxh32_stripes(uint32_t* v, const uint8_t* p, int64_t nstripes) {
+  const uint32_t P1 = 2654435761u, P2 = 2246822519u;
+  uint32_t v1 = v[0], v2 = v[1], v3 = v[2], v4 = v[3];
+  for (int64_t s = 0; s < nstripes; ++s) {
+    uint32_t lane;
+#define ROUND(vv)                     \
+  memcpy(&lane, p, 4);                \
+  vv = rotl32(vv + lane * P2, 13) * P1; \
+  p += 4;
+    ROUND(v1) ROUND(v2) ROUND(v3) ROUND(v4)
+#undef ROUND
+  }
+  v[0] = v1;
+  v[1] = v2;
+  v[2] = v3;
+  v[3] = v4;
+}
+
 uint32_t tpz_xxh32(const uint8_t* p, int64_t n, uint32_t seed) {
   const uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
                  P4 = 668265263u, P5 = 374761393u;
@@ -1284,15 +1305,24 @@ int dist_code_of(int64_t d) {
 // mode: 0 = dynamic Huffman, 1 = fixed Huffman, 2 = stored blocks —
 // the reference's block-type pick (RFC 1951 BTYPE), same LZ77 tokens for
 // dynamic/fixed; stored skips LZ77 entirely.
-int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
-                    int64_t cap, int max_chain, int mode) {
+// deflate_impl: the encoder body shared by tpz_deflate (final_flag=1:
+// a complete stream, BFINAL set on the last block) and
+// tpz_deflate_fragment (final_flag=0: every block BFINAL=0 and the
+// output ends BYTE-ALIGNED via an empty stored block — Z_SYNC_FLUSH — so
+// fragments from independent encoder calls splice into one stream, the
+// L4 ZlibWriter's batching contract).
+static int64_t deflate_impl(const uint8_t* src, int64_t n, uint8_t* dst,
+                            int64_t cap, int max_chain, int mode,
+                            int final_flag) {
   if (mode == 2) {
     // stored: <= 65535-byte blocks, byte-aligned LEN/NLEN + raw copy
     int64_t o = 0, i = 0;
     do {
       int64_t take = n - i > 65535 ? 65535 : n - i;
       if (o + 5 + take > cap) return -1;
-      dst[o++] = (i + take >= n) ? 1 : 0;  // BFINAL, BTYPE=00 (bits 1-2)
+      // BFINAL, BTYPE=00 (bits 1-2); already byte-aligned, so fragments
+      // need no trailing sync block in stored mode
+      dst[o++] = (final_flag && i + take >= n) ? 1 : 0;
       uint16_t ln = (uint16_t)take, nl = (uint16_t)~take;
       dst[o++] = (uint8_t)(ln & 0xFF);
       dst[o++] = (uint8_t)(ln >> 8);
@@ -1394,7 +1424,7 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
     canon_codes(llen_f, 288, lcode);
     canon_codes(dlen_f, 30, dcode);
     BitWr bw{dst, cap};
-    bw.bits(1, 1);  // BFINAL
+    bw.bits(final_flag ? 1u : 0u, 1);  // BFINAL
     bw.bits(1, 2);  // fixed
     for (size_t t = 0; t < lit.size(); ++t) {
       if (lit[t] >= 0) {
@@ -1411,8 +1441,16 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
       }
     }
     bw.bits(lcode[256], llen_f[256]);
+    if (!final_flag) bw.bits(0, 3);  // sync-flush stored header
     bw.flush();
     if (!bw.ok) return -1;
+    if (!final_flag) {
+      if (bw.pos + 4 > cap) return -1;
+      dst[bw.pos++] = 0x00;  // LEN = 0
+      dst[bw.pos++] = 0x00;
+      dst[bw.pos++] = 0xFF;  // NLEN
+      dst[bw.pos++] = 0xFF;
+    }
     return bw.pos;
   }
   int32_t lfreq[286] = {0}, dfreq[30] = {0};
@@ -1506,7 +1544,7 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
 
   // ---- emit
   BitWr bw{dst, cap};
-  bw.bits(1, 1);  // BFINAL
+  bw.bits(final_flag ? 1u : 0u, 1);  // BFINAL
   bw.bits(2, 2);  // dynamic
   bw.bits((uint32_t)(hlit - 257), 5);
   bw.bits((uint32_t)(hdist - 1), 5);
@@ -1531,9 +1569,39 @@ int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
     }
   }
   bw.bits(lcode[256], llen[256]);
+  if (!final_flag) bw.bits(0, 3);  // sync-flush stored header
   bw.flush();
   if (!bw.ok) return -1;
+  if (!final_flag) {
+    if (bw.pos + 4 > cap) return -1;
+    dst[bw.pos++] = 0x00;  // LEN = 0
+    dst[bw.pos++] = 0x00;
+    dst[bw.pos++] = 0xFF;  // NLEN
+    dst[bw.pos++] = 0xFF;
+  }
   return bw.pos;
+}
+
+int64_t tpz_deflate(const uint8_t* src, int64_t n, uint8_t* dst,
+                    int64_t cap, int max_chain, int mode) {
+  return deflate_impl(src, n, dst, cap, max_chain, mode, 1);
+}
+
+// Non-final deflate fragment ending byte-aligned (Z_SYNC_FLUSH): the L4
+// ZlibWriter splices batches of these into one stock-zlib-accepted stream.
+int64_t tpz_deflate_fragment(const uint8_t* src, int64_t n, uint8_t* dst,
+                             int64_t cap, int max_chain, int mode) {
+  return deflate_impl(src, n, dst, cap, max_chain, mode, 0);
+}
+
+void tpz_deflate_fragment_batch(const uint8_t* src, int64_t b, int64_t n,
+                                const int32_t* lens, uint8_t* dst,
+                                int64_t dcap, int64_t* out_lens,
+                                int max_chain, int mode, int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_deflate_fragment(src + i * n, lens[i], dst + i * dcap,
+                                       dcap, max_chain, mode);
+  });
 }
 
 // ---------------------------------------------------------------- MTF/DC

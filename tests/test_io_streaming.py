@@ -194,3 +194,61 @@ def test_codec_adapters_batched_equals_oracle_path():
         oracle.seek(0)
         assert CodecReader(oracle, codec,
                            batch_blocks=1).read() == data, codec
+
+
+def test_lz4_frame_writer_batched_native(rng):
+    """Round-4 adapter batching (VERDICT r3 task 5): a multi-batch frame
+    written through the threaded C++ stage is decodable by the oracle
+    frame decoder, liblz4's frame API when present, and our reader —
+    including the content checksum and a stored incompressible block."""
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    text = (b"batched frame corpus line %d | " * 600) % tuple(range(600))
+    s = text * 3 + bytes(rng.integers(0, 256, 70000, dtype=np.uint8))
+    sink = io.BytesIO()
+    with Lz4FrameWriter(sink, block_max=1 << 16, batch_blocks=4) as w:
+        for i in range(0, len(s), 33333):
+            w.write(s[i : i + 33333])
+    frame = sink.getvalue()
+    assert olz4.decompress_frame(frame) == s
+    assert Lz4FrameReader(io.BytesIO(frame)).read() == s
+    if liblz4.available() and hasattr(liblz4, "decompress_frame"):
+        assert liblz4.decompress_frame(frame) == s
+
+
+def test_zlib_writer_batched_fragments(rng):
+    """Batched ZlibWriter splices threaded-C++ deflate fragments (each a
+    BFINAL=0 stream ending in a Z_SYNC_FLUSH): the result must be ONE
+    stock-zlib-accepted stream, bitwise-verified against the input, for
+    batch sizes around every boundary."""
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    base = (b"zlib fragment splice corpus " * 3000
+            + bytes(rng.integers(0, 256, 9999, dtype=np.uint8)))
+    for n in (0, 1, 4095, 4096, 4097, 3 * 4096 + 17, len(base)):
+        s = base[:n]
+        sink = io.BytesIO()
+        with ZlibWriter(sink, block_size=4096, batch_blocks=3) as w:
+            w.write(s)
+        assert zlib.decompress(sink.getvalue()) == s, n
+
+
+def test_deflate_fragment_splice_primitive():
+    """native.deflate_fragment outputs byte-aligned non-final pieces that
+    concatenate + final stored block == a valid deflate stream (every
+    mode)."""
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    a, b = b"fragment one " * 400, b"fragment two, differs " * 300
+    for mode in ("dynamic", "fixed", "stored"):
+        fa = native.deflate_fragment(a, mode=mode)
+        fb = native.deflate_fragment(b, mode=mode)
+        stream = fa + fb + b"\x01\x00\x00\xff\xff"  # final empty stored
+        d = zlib.decompressobj(wbits=-15)
+        assert d.decompress(stream) + d.flush() == a + b, mode

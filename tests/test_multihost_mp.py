@@ -29,7 +29,8 @@ def _corpus(nblocks: int) -> bytes:
 
 
 def _run_job(nproc: int, local_devs: int, nblocks: int, tmp_path,
-             extra: list[str] | None = None) -> list[bytes]:
+             extra: list[str] | None = None,
+             read_outputs: bool = True) -> list[bytes]:
     coord = f"127.0.0.1:{_free_port()}"
     outs = [str(tmp_path / f"container_{p}.tpz") for p in range(nproc)]
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
@@ -54,6 +55,8 @@ def _run_job(nproc: int, local_devs: int, nblocks: int, tmp_path,
             fail.append(f"worker {p} rc={proc.returncode}:\n"
                         f"{err.decode(errors='replace')[-2000:]}")
     assert not fail, "\n".join(fail)
+    if not read_outputs:
+        return []
     return [open(o, "rb").read() for o in outs]
 
 
@@ -82,7 +85,8 @@ def test_three_process_ragged_tail(tmp_path):
 
 
 @pytest.mark.parametrize(
-    "codec", ["lz4", "ari", "bwt", "bwtdc", "deflate", "lz4p"])
+    "codec", ["lz4", "ari", "bwt", "bwtdc", "deflate", "lz4p", "bin",
+              "apm"])
 def test_two_process_every_codec(codec, tmp_path):
     # VERDICT r2 item 1: the merged header must propagate the staged-payload
     # flag bits (2/8) and decode cleanly for the ari family, not just rle.
@@ -114,3 +118,36 @@ def test_two_process_ari_knobs_and_checksums(tmp_path):
     from tpuzip.dist import runner
 
     assert runner.decompress(containers[0]) == _corpus(9)
+
+
+# ---- failure paths (VERDICT r3 task 6): each worker EXPECTS its taxonomy
+# error and exits 0 only when it was raised — rc!=0 means the guard did
+# not fire, produced garbage, or a peer deadlocked in a collective.
+
+def test_two_process_differing_config_refused(tmp_path):
+    """Ranks with different ari knobs: the flags/trailer allgather guard
+    must refuse the merge with ValueError('...differing...') on EVERY
+    host (the guard that replaced the round-2 silent-corruption bug)."""
+    _run_job(2, 2, 9, tmp_path,
+             extra=["ari", "0", "-", "-", "differ_knobs"],
+             read_outputs=False)
+
+
+def test_two_process_corrupt_merged_payload(tmp_path):
+    """One flipped payload byte in the merged container: the owning host
+    raises its block-level error, the peer raises via the (-1,0) sentinel
+    on the checksum allgather (RemoteDecodeError) or the combined-adler
+    ChecksumError — never garbage, never a hang."""
+    _run_job(2, 2, 9, tmp_path,
+             extra=["rle", "0", "-", "-", "corrupt_payload"],
+             read_outputs=False)
+
+
+def test_three_process_truncated_container(tmp_path):
+    """A container cut mid-payload: tail hosts hit the explicit
+    BlockLengthError truncation check, earlier hosts fail via the
+    sentinel — all three processes exit with the expected taxonomy
+    error."""
+    _run_job(3, 2, 10, tmp_path,
+             extra=["rle", "0", "-", "-", "truncate_payload"],
+             read_outputs=False)

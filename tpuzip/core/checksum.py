@@ -67,3 +67,62 @@ def adler32(block: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
 def adler32_batch(blocks: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """(B, N) u8 + (B,) i32 -> (B,) u32 — one checksum per block."""
     return jax.vmap(adler32)(blocks, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Host-side STREAMING checksums for the L4 adapters.  The oracle classes
+# (oracle.adler.State32, oracle.xxh32.Xxh32State) are the pure-Python
+# format ground truth; these wrappers produce identical digests through
+# the native runtime's bulk loops (zlib.adler32 / tpz_xxh32_stripes) so a
+# frame writer's checksum never bounds its throughput.
+# ---------------------------------------------------------------------------
+
+
+class AdlerStream:
+    """Streaming Adler-32 (oracle.adler.State32 interface: feed/result)."""
+
+    def __init__(self) -> None:
+        self.value = 1
+
+    def feed(self, data: bytes) -> None:
+        import zlib
+
+        self.value = zlib.adler32(bytes(data), self.value)
+
+    def result(self) -> int:
+        return self.value
+
+
+class Xxh32Stream:
+    """Streaming xxHash32, digest-identical to oracle.xxh32.Xxh32State;
+    complete 16-byte stripes go through the native bulk loop when the
+    runtime is built (pure-Python fallback otherwise)."""
+
+    def __init__(self, seed: int = 0) -> None:
+        from tpuzip.oracle.xxh32 import Xxh32State
+
+        self._st = Xxh32State(seed)
+        try:
+            from tpuzip.runtime import native
+
+            self._native = native if native.available() else None
+        except Exception:
+            self._native = None
+
+    def update(self, data: bytes) -> None:
+        st = self._st
+        if self._native is None or len(data) < 1024:
+            st.update(bytes(data))
+            return
+        import numpy as np
+
+        buf = st.tail + bytes(data)
+        ns = len(buf) // 16
+        v = np.array(st.v, np.uint32)
+        self._native.xxh32_stripes(v, buf, ns)
+        st.v = [int(x) for x in v]
+        st.tail = buf[ns * 16:]
+        st.total += len(data)
+
+    def digest(self) -> int:
+        return self._st.digest()

@@ -230,34 +230,66 @@ def decompress_corpus_multihost(container: bytes, config=None,
         for i in range(lo, hi):
             hdr += struct.pack("<I", int(bsums[i]))
     hdr += trailer
-    local_container = bytes(hdr) + container[starts[lo] : starts[hi]]
 
-    local_devices = jax.local_devices()
-    local_mesh = meshlib.make_mesh(len(local_devices),
-                                   devices=local_devices)
-    out = runner.decompress(local_container, mesh=local_mesh,
-                            config=config, to_device=to_device)
+    local_err = None
+    out = None
+    try:
+        # fail-loud truncation check (a taxonomy error, not a downstream
+        # shape error); inside the try so the collective below is still
+        # entered uniformly by every host
+        if int(starts[hi]) > len(container):
+            from tpuzip.runtime.errors import BlockLengthError
+
+            raise BlockLengthError(
+                f"truncated container: host block range [{lo},{hi}) needs "
+                f"payload through byte {int(starts[hi])}, container has "
+                f"{len(container)}")
+        local_container = bytes(hdr) + container[starts[lo] : starts[hi]]
+        local_devices = jax.local_devices()
+        local_mesh = meshlib.make_mesh(len(local_devices),
+                                       devices=local_devices)
+        out = runner.decompress(local_container, mesh=local_mesh,
+                                config=config, to_device=to_device)
+    except Exception as e:
+        # a host that raises BEFORE the global-checksum allgather would
+        # deadlock every peer inside the collective — record the failure
+        # and route it THROUGH the collective as a sentinel instead
+        local_err = e
     if to_device:
+        if local_err is not None:
+            raise local_err  # no collective pending on the device path
         blocks, out_olens, _ = out
         local_bytes = None
         local_sum = None  # device path: caller owns verification timing
     else:
-        local_bytes = out
-        local_sum = zlib.adler32(local_bytes)
+        local_bytes = out if local_err is None else b""
+        local_sum = zlib.adler32(local_bytes) if local_err is None else -1
 
     # ordered global checksum: allgather per-host (adler, length) pairs
-    # and fold with the combine identity
+    # and fold with the combine identity; a host-local failure rides the
+    # allgather as the (-1, 0) sentinel so every peer raises a taxonomy
+    # error instead of hanging
     if local_sum is not None:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
+            from tpuzip.runtime.errors import RemoteDecodeError
+
             pairs = multihost_utils.process_allgather(
                 np.array([local_sum, len(local_bytes)], np.int64))
+            bad = [p for p in range(jax.process_count())
+                   if int(pairs[p, 0]) < 0]
+            if bad:
+                if local_err is not None:
+                    raise local_err
+                raise RemoteDecodeError(bad)
             total = 1
             for p in range(jax.process_count()):
                 total = oadler.combine(total, int(pairs[p, 0]),
                                        int(pairs[p, 1]))
         else:
+            if local_err is not None:
+                raise local_err
             total = oadler.combine(1, local_sum, len(local_bytes))
         if a32 and total != a32:
             raise ChecksumError(

@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import struct
 
-from tpuzip.oracle.xxh32 import Xxh32State, xxh32
+from tpuzip.core.checksum import AdlerStream, Xxh32Stream
+from tpuzip.oracle.xxh32 import xxh32
 
 __all__ = ["Lz4FrameWriter", "Lz4FrameReader", "ZlibWriter", "ZlibReader",
            "CodecWriter", "CodecReader", "STREAM_CODECS"]
@@ -40,18 +41,28 @@ class _WriterBase:
 
 
 class Lz4FrameWriter(_WriterBase):
-    """Incremental LZ4 frame writer over the device block codec."""
+    """Incremental LZ4 frame writer.
+
+    Buffers up to ``batch_blocks`` full blocks and compresses them through
+    the threaded C++ batch stage (the tpz runner's production encode,
+    liblz4 bit-interoperable) — the frame format is unchanged and each
+    block still falls back to stored when compression does not help.
+    Without the native runtime, blocks go one at a time through the device
+    codec (use_device=True) or the oracle."""
 
     def __init__(self, inner, block_max: int = 1 << 16,
-                 content_checksum: bool = True, use_device: bool = True):
+                 content_checksum: bool = True, use_device: bool = True,
+                 batch_blocks: int | None = None):
         super().__init__(inner)
         from tpuzip.oracle.lz4 import _BD_MAX_SIZES
 
         self.block_max = block_max
         self.content_checksum = content_checksum
         self.use_device = use_device
+        self.batch_blocks = (ADAPTER_BATCH if batch_blocks is None
+                             else max(1, batch_blocks))
         self.buf = bytearray()
-        self.xxh = Xxh32State()
+        self.xxh = Xxh32Stream()
         bd_id = {v: k for k, v in _BD_MAX_SIZES.items()}[block_max]
         flg = (1 << 6) | (1 << 5) | (int(content_checksum) << 2)
         descriptor = bytes([flg, bd_id << 4])
@@ -64,20 +75,38 @@ class Lz4FrameWriter(_WriterBase):
         self.buf += data
         if self.content_checksum:
             self.xxh.update(bytes(data))
-        while len(self.buf) >= self.block_max:
-            self._emit(bytes(self.buf[: self.block_max]))
-            del self.buf[: self.block_max]
+        hi = self.batch_blocks * self.block_max
+        while len(self.buf) >= hi:
+            self._emit_batch([bytes(self.buf[k : k + self.block_max])
+                              for k in range(0, hi, self.block_max)])
+            del self.buf[:hi]
         return len(data)
 
-    def _emit(self, chunk: bytes) -> None:
-        comp = self._compress(chunk)
+    def _emit_batch(self, chunks) -> None:
+        native = _native_mod()
+        if native is None or len(chunks) == 1:
+            for chunk in chunks:
+                self._emit(chunk)
+            return
+        rows, lens = _pack_rows(chunks)
+        comp, clens = native.lz4_compress_batch(rows, lens)
+        for i, chunk in enumerate(chunks):
+            self._write_block(chunk, comp[i, : int(clens[i])].tobytes())
+
+    def _write_block(self, chunk: bytes, comp: bytes) -> None:
         if len(comp) < len(chunk):
             self.inner.write(struct.pack("<I", len(comp)) + comp)
         else:
             self.inner.write(struct.pack("<I", len(chunk) | 0x80000000)
                              + chunk)
 
+    def _emit(self, chunk: bytes) -> None:
+        self._write_block(chunk, self._compress(chunk))
+
     def _compress(self, chunk: bytes) -> bytes:
+        native = _native_mod()
+        if native is not None:
+            return native.lz4_compress(chunk)
         if self.use_device:
             import numpy as np
 
@@ -99,7 +128,9 @@ class Lz4FrameWriter(_WriterBase):
         if self.closed:
             return
         if self.buf:
-            self._emit(bytes(self.buf))
+            self._emit_batch(
+                [bytes(self.buf[k : k + self.block_max])
+                 for k in range(0, len(self.buf), self.block_max)])
             self.buf.clear()
         self.inner.write(struct.pack("<I", 0))
         if self.content_checksum:
@@ -132,7 +163,7 @@ class Lz4FrameReader:
         self.block_max = _BD_MAX_SIZES[(bd >> 4) & 7]
         self.pending = bytearray()
         self.done = False
-        self.xxh = Xxh32State()
+        self.xxh = Xxh32Stream()
 
     def __enter__(self):
         return self
@@ -152,8 +183,6 @@ class Lz4FrameReader:
         return out
 
     def _pull(self) -> None:
-        from tpuzip.oracle.lz4 import decompress_block
-
         raw = self.inner.read(4)
         if len(raw) < 4:
             raise ValueError("truncated frame")
@@ -168,23 +197,41 @@ class Lz4FrameReader:
         stored = bool(blen & 0x80000000)
         blen &= 0x7FFFFFFF
         payload = self.inner.read(blen)
-        dec = payload if stored else decompress_block(
-            payload, max_out=self.block_max)
+        if stored:
+            dec = payload
+        else:
+            native = _native_mod()
+            if native is not None:  # C++ shortcut decoder (production)
+                dec = native.lz4_decompress(payload, self.block_max)
+            else:
+                from tpuzip.oracle.lz4 import decompress_block
+
+                dec = decompress_block(payload, max_out=self.block_max)
         self.pending += dec
         self.xxh.update(bytes(dec))
 
 
 class ZlibWriter(_WriterBase):
     """Streaming zlib: successive BFINAL=0 deflate blocks, final empty
-    stored block, trailing Adler-32.  Accepted by stock zlib."""
+    stored block, trailing Adler-32.  Accepted by stock zlib.
 
-    def __init__(self, inner, block_size: int = 1 << 16):
+    With the native runtime, buffered blocks are deflated in threaded-C++
+    batches as byte-aligned non-final FRAGMENTS (each ends with an empty
+    stored block — Z_SYNC_FLUSH — so independent fragments splice into one
+    stream); without it, the pure-Python per-block encoder with carried
+    bit state remains the fallback/format cross-check."""
+
+    def __init__(self, inner, block_size: int = 1 << 16,
+                 batch_blocks: int | None = None):
         super().__init__(inner)
-        from tpuzip.oracle.adler import State32
-
         self.block_size = block_size
+        self.batch_blocks = (ADAPTER_BATCH if batch_blocks is None
+                             else max(1, batch_blocks))
+        # pick the mode once: fragments need byte alignment throughout,
+        # the fallback carries sub-byte bit state between blocks
+        self.native = _native_mod() if self.batch_blocks > 1 else None
         self.buf = bytearray()
-        self.adler = State32()
+        self.adler = AdlerStream()
         self.bitbuf = 0
         self.bitcnt = 0
         cmf, flg = 0x78, 0
@@ -196,10 +243,23 @@ class ZlibWriter(_WriterBase):
     def write(self, data: bytes) -> int:
         self.buf += data
         self.adler.feed(bytes(data))
+        if self.native is not None:
+            hi = self.batch_blocks * self.block_size
+            while len(self.buf) >= hi:
+                self._emit_batch([bytes(self.buf[k : k + self.block_size])
+                                  for k in range(0, hi, self.block_size)])
+                del self.buf[:hi]
+            return len(data)
         while len(self.buf) >= self.block_size:
             self._emit(bytes(self.buf[: self.block_size]), final=False)
             del self.buf[: self.block_size]
         return len(data)
+
+    def _emit_batch(self, chunks) -> None:
+        rows, lens = _pack_rows(chunks)
+        comp, clens = self.native.deflate_fragment_batch(rows, lens)
+        for i in range(len(chunks)):
+            self.inner.write(comp[i, : int(clens[i])].tobytes())
 
     def _emit(self, chunk: bytes, final: bool) -> None:
         from tpuzip.oracle import deflate as od
@@ -233,7 +293,12 @@ class ZlibWriter(_WriterBase):
     def close(self) -> None:
         if self.closed:
             return
-        if self.buf:
+        if self.buf and self.native is not None:
+            self._emit_batch(
+                [bytes(self.buf[k : k + self.block_size])
+                 for k in range(0, len(self.buf), self.block_size)])
+            self.buf.clear()
+        elif self.buf:
             self._emit(bytes(self.buf), final=False)
             self.buf.clear()
         # final empty stored block flushes bit alignment deterministically

@@ -32,3 +32,14 @@ class CorruptStreamError(TpzError):
         self.block_ids = list(block_ids)
         super().__init__(f"corrupt blocks: {self.block_ids[:8]}"
                          + ("..." if len(self.block_ids) > 8 else ""))
+
+
+class RemoteDecodeError(TpzError):
+    """A peer host failed its local block range in a distributed decode
+    (the failure rode the checksum allgather as a sentinel, so every host
+    raises instead of deadlocking in the collective)."""
+
+    def __init__(self, host_ids):
+        self.host_ids = list(host_ids)
+        super().__init__(
+            f"distributed decode failed on host(s) {self.host_ids}")

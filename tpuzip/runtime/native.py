@@ -46,6 +46,9 @@ def get_lib():
     lib.tpz_adler32.argtypes = [u8p, i64, u32]
     lib.tpz_xxh32.restype = u32
     lib.tpz_xxh32.argtypes = [u8p, i64, u32]
+    lib.tpz_xxh32_stripes.restype = None
+    lib.tpz_xxh32_stripes.argtypes = [ctypes.POINTER(ctypes.c_uint32),
+                                      u8p, i64]
     for name in ("tpz_lz4_decompress", "tpz_rle_encode", "tpz_rle_decode"):
         fn = getattr(lib, name)
         fn.restype = i64
@@ -64,6 +67,16 @@ def get_lib():
     for nm in ("tpz_lz4_decode_wplan8", "tpz_lz4_decode_wplan16"):
         getattr(lib, nm).restype = i64
         getattr(lib, nm).argtypes = lib.tpz_lz4_decode_wplan.argtypes
+    lib.tpz_deflate_fragment.restype = i64
+    lib.tpz_deflate_fragment.argtypes = [u8p, i64, u8p, i64, ctypes.c_int,
+                                         ctypes.c_int]
+    lib.tpz_deflate_fragment_batch.restype = None
+    lib.tpz_deflate_fragment_batch.argtypes = [u8p, i64, i64, i32p, u8p,
+                                               i64,
+                                               ctypes.POINTER(
+                                                   ctypes.c_int64),
+                                               ctypes.c_int, ctypes.c_int,
+                                               ctypes.c_int]
     lib.tpz_inflate.restype = i64
     lib.tpz_inflate.argtypes = [u8p, i64, u8p, i64]
     lib.tpz_inflate_plan.restype = i64
@@ -195,6 +208,17 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     lib = get_lib()
     arr = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
     return int(lib.tpz_xxh32(_u8(arr), len(data), seed))
+
+
+def xxh32_stripes(v: np.ndarray, data: bytes, nstripes: int) -> None:
+    """Bulk 16-byte-stripe update for streaming xxh32: v is the (4,) u32
+    lane state, updated in place (tail/total bookkeeping stays with the
+    caller — core.checksum.Xxh32Stream)."""
+    lib = get_lib()
+    arr = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    lib.tpz_xxh32_stripes(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), _u8(arr),
+        nstripes)
 
 
 def _run2(name: str, data: bytes, cap: int, *extra) -> bytes:
@@ -759,6 +783,35 @@ def deflate(data: bytes, max_chain: int = 64,
     bulk stages are the TPU formulation."""
     return _run2("tpz_deflate", data, 2 * len(data) + 4096, max_chain,
                  DEFLATE_MODES[mode])
+
+
+def deflate_fragment(data: bytes, max_chain: int = 64,
+                     mode: str = "dynamic") -> bytes:
+    """Non-final deflate fragment ending byte-aligned (an empty BFINAL=0
+    stored block — Z_SYNC_FLUSH): fragments from independent calls splice
+    into one stock-zlib-accepted stream (the ZlibWriter batching path)."""
+    return _run2("tpz_deflate_fragment", data, 2 * len(data) + 4096,
+                 max_chain, DEFLATE_MODES[mode])
+
+
+def deflate_fragment_batch(blocks: np.ndarray, lengths: np.ndarray,
+                           max_chain: int = 64, nthreads: int = 0,
+                           mode: str = "dynamic"):
+    """Threaded batch of byte-aligned non-final deflate fragments.
+    Returns (comp (B, dcap) u8, clens (B,) i64)."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, n = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dcap = 2 * n + 4096
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    lib.tpz_deflate_fragment_batch(_u8(blocks), b, n, _i32(lens), _u8(dst),
+                                   dcap, _i64(out), max_chain,
+                                   DEFLATE_MODES[mode], nthreads)
+    if (out < 0).any():
+        raise ValueError("deflate_fragment_batch failed")
+    return dst, out
 
 
 def inflate(data: bytes, out_cap: int) -> bytes:
