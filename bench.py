@@ -318,14 +318,21 @@ def main() -> None:
         outp = np.asarray(jlz4._gather_wplan8(jcomp, jpat, jwp, jolens))
         assert outp[0].tobytes() == lz_blocks[0].tobytes()
         assert outp[Bl - 1].tobytes() == lz_blocks[Bl - 1].tobytes()
-    lz_dec = (1.0 / (1.0 / lz_dec_host + 1.0 / lz_dec_dev)
-              if lz_dec_host and lz_dec_dev else 0.0)
+    lz_dec_plan = (1.0 / (1.0 / lz_dec_host + 1.0 / lz_dec_dev)
+                   if lz_dec_host and lz_dec_dev else 0.0)
+    # production serving decode: the runner's round-4 probe picks DIRECT
+    # mode on this corpus (patch density ~0.999 — bench/wplan_ab_r4.py),
+    # so the serving rate is the threaded full decode feeding a device
+    # put; the copy-plan parse+gather stays reported as the plan path
+    # (production for high-contiguity corpora)
+    lz_dec = lz_dec_full_host if lz_dec_full_host else lz_dec_plan
     lz_combined = (2.0 / (1.0 / lz_enc + 1.0 / lz_dec)
                    if lz_enc and lz_dec else lz_enc_dev)
     detail["lz4"] = {
         "encode_MBps": round(lz_enc / 1e6, 1),
         "encode_device_MBps": round(lz_enc_dev / 1e6, 1),
         "decode_MBps": round(lz_dec / 1e6, 1),
+        "decode_plan_combined_MBps": round(lz_dec_plan / 1e6, 1),
         "decode_host_parse_MBps": round(lz_dec_host / 1e6, 1),
         "decode_device_gather_MBps": round(lz_dec_dev / 1e6, 1),
         "decode_host_output_MBps": round(lz_dec_full_host / 1e6, 1),

@@ -269,12 +269,16 @@ def test_lz4_wplan8_runner_path():
     mesh = meshlib.make_mesh(8)
     c = runner.compress(data, codec="lz4", block_size=8192, mesh=mesh)
     old = runner.LZ4_DECODE_PLAN
+    old_frac = runner.LZ4_SERVE_DIRECT_FRAC
     try:
+        # force the gather (the probe would pick DIRECT on this corpus)
+        runner.LZ4_SERVE_DIRECT_FRAC = 1.1
         for plan in ("wplan", "wplan8"):
             runner.LZ4_DECODE_PLAN = plan
             assert runner.decompress(c, mesh=mesh) == data, plan
     finally:
         runner.LZ4_DECODE_PLAN = old
+        runner.LZ4_SERVE_DIRECT_FRAC = old_frac
 
 
 def test_decompress_to_device():
@@ -584,7 +588,9 @@ def test_lz4_to_device_sliced_with_padded_tail():
     data = (b"sliced serving corpus with some repeated text " * 800)
     c = runner.compress(data, codec="lz4", block_size=2048, mesh=mesh)
     old = runner.LZ4_DECODE_SLICE
+    old_frac = runner.LZ4_SERVE_DIRECT_FRAC
     try:
+        runner.LZ4_SERVE_DIRECT_FRAC = 1.1  # force the sliced gather path
         runner.LZ4_DECODE_SLICE = 8  # 19 blocks -> slices 8+8+3(pad to 8)
         blocks, olens, orig = runner.decompress(c, mesh=mesh,
                                                 to_device=True)
@@ -594,3 +600,29 @@ def test_lz4_to_device_sliced_with_padded_tail():
         assert flat == data
     finally:
         runner.LZ4_DECODE_SLICE = old
+        runner.LZ4_SERVE_DIRECT_FRAC = old_frac
+
+
+def test_lz4_to_device_direct_serving_probe():
+    """Round-4 serving decision: on an ordinary (high patch density)
+    corpus the probe picks DIRECT serve — threaded full decode + device
+    put — and the result is identical to the forced-gather path."""
+    from tpuzip.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    mesh = meshlib.make_mesh(8)
+    data = (b"the quick brown fox jumps over the lazy dog %d | " * 40
+            ) % tuple(range(40)) * 60
+    c = runner.compress(data, codec="lz4", block_size=4096, mesh=mesh)
+    blocks, olens, orig = runner.decompress(c, mesh=mesh, to_device=True)
+    flat = b"".join(bytes(bytearray(b)[:int(n)])
+                    for b, n in zip(blocks, olens))[:orig]
+    assert flat == data
+    # the probe itself: ordinary text degenerates the plans
+    import numpy as np
+    payload_blocks, lengths = __import__(
+        "tpuzip.core.blocks", fromlist=["chunk"]).chunk(data, 4096)
+    comp, cl = native.lz4_compress_batch(payload_blocks, lengths)
+    assert runner._lz4_serve_direct(comp, cl.astype(np.int32),
+                                    lengths.astype(np.int64), 4096)

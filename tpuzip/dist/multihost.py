@@ -265,28 +265,37 @@ def decompress_corpus_multihost(container: bytes, config=None,
         local_bytes = out if local_err is None else b""
         local_sum = zlib.adler32(local_bytes) if local_err is None else -1
 
-    # ordered global checksum: allgather per-host (adler, length) pairs
-    # and fold with the combine identity; a host-local failure rides the
-    # allgather as the (-1, 0) sentinel so every peer raises a taxonomy
-    # error instead of hanging
+    # ordered global checksum: allgather per-host rows and fold with the
+    # combine identity; a host-local failure rides the allgather as an
+    # ok=0 sentinel so every peer raises a taxonomy error instead of
+    # hanging.  Every gathered component stays < 2^31: without
+    # jax_enable_x64 the allgather silently downcasts int64 -> int32, so
+    # a raw adler >= 2^31 would arrive negative on every peer (it did:
+    # sum 2557003930 gathered as -1737963366 and tripped a false
+    # RemoteDecodeError) — the adler travels as its two u16 halves and
+    # the length as (lo30, hi) limbs
     if local_sum is not None:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             from tpuzip.runtime.errors import RemoteDecodeError
 
-            pairs = multihost_utils.process_allgather(
-                np.array([local_sum, len(local_bytes)], np.int64))
+            ok = 0 if local_err is not None else 1
+            nloc = len(local_bytes)
+            rows = multihost_utils.process_allgather(
+                np.array([ok, local_sum & 0xFFFF, local_sum >> 16,
+                          nloc & 0x3FFFFFFF, nloc >> 30], np.int32))
             bad = [p for p in range(jax.process_count())
-                   if int(pairs[p, 0]) < 0]
+                   if int(rows[p, 0]) == 0]
             if bad:
                 if local_err is not None:
                     raise local_err
                 raise RemoteDecodeError(bad)
             total = 1
             for p in range(jax.process_count()):
-                total = oadler.combine(total, int(pairs[p, 0]),
-                                       int(pairs[p, 1]))
+                psum = int(rows[p, 1]) | (int(rows[p, 2]) << 16)
+                plen = int(rows[p, 3]) | (int(rows[p, 4]) << 30)
+                total = oadler.combine(total, psum, plen)
         else:
             if local_err is not None:
                 raise local_err

@@ -44,6 +44,29 @@ LZ4_DECODE_PLAN = "wplan8"
 # 265 / 406 / 321 MB/s at B=128/256/512): big to_device batches are
 # served in slices of this many blocks.
 LZ4_DECODE_SLICE = 256
+# to_device serving picks DIRECT (threaded full decode + device put)
+# over the copy-plan gather when the probed patch density exceeds this
+# fraction — past it the plan transfer exceeds the raw output bytes and
+# the ~390 MB/s gather loses to the 3.4 GB/s host decode (round-4 A/B,
+# bench/wplan_ab_r4.py: ordinary text measures ~0.999 patched).
+LZ4_SERVE_DIRECT_FRAC = 0.5
+
+
+def _lz4_serve_direct(comp, clens, olens, block_size: int) -> bool:
+    """Probe up to 32 blocks' wplan8 patch density (the parse is ~1.3
+    GB/s — the probe costs ~1/8 of one slice parse)."""
+    import numpy as np
+
+    from tpuzip.runtime import native
+
+    probe_n = min(comp.shape[0], 32)
+    if probe_n == 0:
+        return True
+    _, _, _, used = native.lz4_decode_wplan8_batch(
+        comp[:probe_n], np.asarray(clens[:probe_n], np.int32), block_size,
+        strict=False)
+    probe_out = max(int(np.asarray(olens[:probe_n]).sum()), 1)
+    return float(used.sum()) / probe_out > LZ4_SERVE_DIRECT_FRAC
 
 
 def corpus_adler32(data: bytes) -> int:
@@ -177,7 +200,13 @@ def _ari_encode_indexed(blocks, lengths, increment: int = 8,
         log.warning(
             "ari: block_size %d not a multiple of 256 — falling back from "
             "the Pallas lane encoder to the XLA scan (~80x slower)", n)
-    if on_tpu and n % 256 == 0:
+    kernel_model_ok = threshold + increment <= (1 << 15)
+    if on_tpu and not kernel_model_ok:
+        log.warning(
+            "ari: threshold+increment %d > 32768 exceeds the kernel's "
+            "u16-packed cum table — using the C++/XLA coder instead",
+            threshold + increment)
+    if on_tpu and n % 256 == 0 and kernel_model_ok:
         from tpuzip.kernels.range_coder import (
             ari_encode_lanes_packed_indexed, lane_width)
 
@@ -1171,12 +1200,29 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 errs = (st < 0).astype(np.int32)
                 olens_dev = np.where(st > 0, st, 0)
                 out = out_np
+            elif planned and _lz4_serve_direct(comp, clens, olens,
+                                               block_size):
+                # to_device serving, DIRECT mode: the run-based parse
+                # showed copy plans patch ~100% of output bytes on
+                # ordinary corpora (DESIGN note 14 extended) — there the
+                # plan transfer (comp + wplan/8 + patches ~ 1.9 bytes per
+                # output byte) and the ~390 MB/s gather both lose to the
+                # 3.4 GB/s threaded full decode + a plain device put of
+                # 1.0 bytes/byte.  A 32-block probe measures the patch
+                # density and picks this path when plans degenerate.
+                out_np, st = native.lz4_decompress_batch(
+                    comp, clens.astype(np.int32), block_size)
+                errs = (st < 0).astype(np.int32)
+                olens_dev = np.where(st > 0, st, 0)
+                out = jnp.asarray(out_np)
             elif planned:
                 # host-parse/device-copy-plan path: C++ token parse, bulk
-                # device gathers (VERDICT r1 item 3).  LZ4_DECODE_PLAN
-                # picks the plan granularity: "wplan8" (one gather row
-                # per 8 output bytes) won the 3-way chip A/B
-                # (bench/wplan_ab.py)
+                # device gathers (VERDICT r1 item 3) — production for
+                # high-contiguity corpora (long literal runs / dedup-style
+                # long matches) where the plan is genuinely smaller than
+                # the output.  LZ4_DECODE_PLAN picks the granularity:
+                # "wplan8" (one gather row per 8 output bytes) won the
+                # 3-way chip A/B (bench/wplan_ab.py)
                 fn = {"wplan8": jlz4.decode_batch_wplanned8,
                       "wplan16": jlz4.decode_batch_wplanned16,
                       }.get(LZ4_DECODE_PLAN, jlz4.decode_batch_wplanned)

@@ -71,38 +71,102 @@ def _div_u32_by_small(num: jnp.ndarray, den: jnp.ndarray):
     return q, rem
 
 
+def _shift_down_rows(x, k):
+    """Rows shifted down by k (zeros shifted in) via static slice+concat —
+    no dynamic ops, Mosaic-safe."""
+    return jnp.concatenate(
+        [jnp.zeros((k,) + x.shape[1:], x.dtype), x[:-k]], axis=0)
+
+
+def _halved_cumsum_packed(cum):
+    """Oracle downscale on the PACKED inclusive cumulative table: unpack
+    the two u16 entries per i32 row, halve every frequency ((f+1)>>1),
+    log-tree re-cumsum the 128 pair sums, and repack.  Integer-exact
+    (values < 2^14).  Returns (new packed table, new totals)."""
+    lo = cum & 0xFFFF          # C[2p]   (inclusive)
+    hi = cum >> 16             # C[2p+1]
+    hi_prev = _shift_down_rows(hi, 1)
+    sf_e = (lo - hi_prev + 1) >> 1   # halved freq[2p]
+    sf_o = (hi - lo + 1) >> 1        # halved freq[2p+1]
+    pair = sf_e + sf_o
+    incl = pair
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        incl = incl + _shift_down_rows(incl, k)
+    ex = incl - pair                 # exclusive pair prefix
+    new_lo = ex + sf_e
+    new_hi = incl
+    # cumsum is monotone: the last row (== new total) is the max
+    return new_lo | (new_hi << 16), jnp.max(incl, axis=0)
+
+
+def _enc_halving_gated(cum, tot, active, threshold: int):
+    """Halving runs only when some active lane crosses the threshold
+    (every ~(threshold-256)/increment symbols) — lax.cond lowers to a
+    real branch, so the steady state pays nothing (the round-3 encoder
+    computed the full downscale EVERY symbol)."""
+    scale = active & (tot >= threshold)
+
+    def yes(ct):
+        c, t = ct
+        nc, ntots = _halved_cumsum_packed(c)
+        return (jnp.where(scale[None, :], nc, c),
+                jnp.where(scale, ntots, t))
+
+    return jax.lax.cond(jnp.any(scale), yes, lambda ct: ct, (cum, tot))
+
+
 def _ari_encode_kernel(x_ref, len_ref, out_ref, cnt_ref, state_ref,
-                       low_r, rng_r, freq, total, *,
+                       low_r, rng_r, cum_r, total, *,
                        increment: int, threshold: int):
+    """Round-4 structural rework (VERDICT r3 task 3): the model state is
+    the INCLUSIVE cumulative table with two adjacent u16 entries packed
+    per i32 row (128 rows, max value total<<16 < 2^31) — one masked
+    onehot pass over 128 rows yields C[sym-1], C[sym] AND the update mask,
+    replacing the round-3 freq-table version's two 256-row reductions plus
+    a full 256-row halving downscale computed every symbol."""
     lanes = out_ref.shape[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         low_r[0, :] = jnp.zeros((lanes,), jnp.uint32)
         rng_r[0, :] = jnp.full((lanes,), 0xFFFFFFFF, jnp.uint32)
-        freq[:, :] = jnp.ones((256, lanes), jnp.int32)
+        # uniform init C[k] = k+1: lo = 2p+1, hi = 2p+2
+        p0 = jax.lax.broadcasted_iota(jnp.int32, (128, lanes), 0)
+        cum_r[:, :] = (2 * p0 + 1) | ((2 * p0 + 2) << 16)
         total[0, :] = jnp.full((lanes,), 256, jnp.int32)
 
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, lanes), 0)
+    incboth = jnp.int32(increment | (increment << 16))
+    inchi = jnp.int32(increment << 16)
 
     def group_body(g, _):
         base = pl.multiple_of(g * GROUP, GROUP)
         slab = x_ref[pl.ds(base, GROUP), :].astype(jnp.int32)
         out_rows = []
         cnt_rows = []
+        low = low_r[0, :]
+        rng = rng_r[0, :]
+        cum = cum_r[:, :]
+        tot = total[0, :]
         for j in range(GROUP):
             step = pl.program_id(0) * CHUNK + base + j
             active = step < len_ref[0, :]
             sym = slab[j, :]
-            ft = freq[:, :]
-            below = iota256 < sym[None, :]
-            onehot = iota256 == sym[None, :]
-            cum_lo = jnp.sum(jnp.where(below, ft, 0), axis=0).astype(jnp.uint32)
-            f = jnp.sum(jnp.where(onehot, ft, 0), axis=0).astype(jnp.uint32)
-            low = low_r[0, :]
-            rng = rng_r[0, :]
-            tot = total[0, :].astype(jnp.uint32)
-            r, _rem = _div_u32_by_small(rng, tot)
+            p = sym >> 1
+            odd = (sym & 1) == 1
+            # one pass: rows p-1 and p (row -1 contributes 0 for sym<2)
+            mprev = iota128 == (p - 1)[None, :]
+            mcur = iota128 == p[None, :]
+            accm1 = jnp.sum(jnp.where(mprev, cum, 0), axis=0)
+            acc0 = jnp.sum(jnp.where(mcur, cum, 0), axis=0)
+            lo0 = acc0 & 0xFFFF
+            hi0 = acc0 >> 16
+            b_incl = jnp.where(odd, hi0, lo0)             # C[sym]
+            a_incl = jnp.where(odd, lo0, accm1 >> 16)     # C[sym-1]
+            cum_lo = a_incl.astype(jnp.uint32)
+            f = (b_incl - a_incl).astype(jnp.uint32)
+            tot_u = tot.astype(jnp.uint32)
+            r, _rem = _div_u32_by_small(rng, tot_u)
             low2 = low + r * cum_lo
             rng2 = r * f
             row_bytes = []
@@ -116,21 +180,24 @@ def _ari_encode_kernel(x_ref, len_ref, out_ref, cnt_ref, state_ref,
                 row_mask.append(emit)
                 low2 = jnp.where(emit, low2 << 8, low2)
                 rng2 = jnp.where(emit, rng2 << 8, rng2)
-            # model update with halving downscale
-            nf = ft + jnp.where(onehot, increment, 0)
-            ntot = total[0, :] + increment
-            scale = ntot >= threshold
-            sf = (nf + 1) >> 1
-            nf = jnp.where(scale[None, :], sf, nf)
-            ntot = jnp.where(scale, jnp.sum(sf, axis=0), ntot)
-            # masked lanes freeze
-            low_r[0, :] = jnp.where(active, low2, low)
-            rng_r[0, :] = jnp.where(active, rng2, rng)
-            freq[:, :] = jnp.where(active[None, :], nf, ft)
-            total[0, :] = jnp.where(active, ntot, total[0, :])
+            # model update: freq[sym] += inc  <=>  C[k] += inc for k >= sym
+            # (rows above p get both halves; row p gets both when sym is
+            # even, hi only when odd); frozen lanes add 0
+            sel = jnp.where(odd, inchi, incboth)
+            rowadd = jnp.where(iota128 > p[None, :], incboth, 0) \
+                + jnp.where(mcur, sel[None, :], 0)
+            cum = cum + jnp.where(active[None, :], rowadd, 0)
+            tot = jnp.where(active, tot + increment, tot)
+            cum, tot = _enc_halving_gated(cum, tot, active, threshold)
+            low = jnp.where(active, low2, low)
+            rng = jnp.where(active, rng2, rng)
             out_rows.append(jnp.stack(row_bytes))          # (4, LANES)
             cnt = sum(m.astype(jnp.int32) for m in row_mask)
             cnt_rows.append(cnt.astype(jnp.uint8))
+        low_r[0, :] = low
+        rng_r[0, :] = rng
+        cum_r[:, :] = cum
+        total[0, :] = tot
         out_ref[pl.ds(base * 4, GROUP * 4), :] = jnp.concatenate(out_rows)
         cnt_ref[pl.ds(base, GROUP), :] = jnp.stack(cnt_rows)
         return 0
@@ -154,6 +221,11 @@ def ari_encode_lanes(x: jnp.ndarray, lens: jnp.ndarray,
     plus the 4 finish() bytes of final_low[0, l]."""
     n, lanes = x.shape
     assert lanes % LANES == 0 and n % CHUNK == 0
+    # packed u16 cum entries bound every value by total < threshold + inc;
+    # the table rows are SIGNED i32 and `cum >> 16` is an arithmetic
+    # shift, so the hi half must stay below 2^15 or it sign-extends
+    assert threshold + increment <= (1 << 15), \
+        "u16-packed cum table requires threshold + increment <= 32768"
     grid = n // CHUNK
     return pl.pallas_call(
         functools.partial(_ari_encode_kernel, increment=increment,
@@ -181,7 +253,7 @@ def ari_encode_lanes(x: jnp.ndarray, lens: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((1, lanes), jnp.uint32),   # low
             pltpu.VMEM((1, lanes), jnp.uint32),   # range
-            pltpu.VMEM((256, lanes), jnp.int32),  # freq
+            pltpu.VMEM((128, lanes), jnp.int32),  # packed u16-pair cum
             pltpu.VMEM((1, lanes), jnp.int32),    # total
         ],
         interpret=interpret,

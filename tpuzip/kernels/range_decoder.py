@@ -358,6 +358,147 @@ def _apply_halving_gated(cum, tot, active, threshold: int):
     return jax.lax.cond(jnp.any(scale), yes, lambda ct: ct, (cum, tot))
 
 
+# ---------------------------------------------------------------------------
+# v3 step: u16-packed cumulative pairs (the encoder's round-4 layout)
+# ---------------------------------------------------------------------------
+
+def _decode_step_cum_packed(low, rng, code, cum, tot, posB, active, win_i,
+                            iotaW, increment: int):
+    """v3 decode step on the u16-PACKED inclusive cumulative table: row p
+    of the (128, lanes) i32 state holds C[2p] (lo half) and C[2p+1] (hi
+    half) — the layout that took the encoder 291 -> 451 MB/s by halving
+    the per-step VMEM traffic and keeping the model update integer.
+    Requires threshold + increment <= 2^15 (the hi half would sign-extend
+    through the arithmetic `>> 16` past that).  Returns the non-scale
+    state update + sym; the caller applies the gated halving."""
+    tot_u = tot.astype(jnp.uint32)
+    r, _ = u32_div_exact(rng, tot_u)
+    v, _ = u32_div_exact(code - low, r)
+    v = jnp.where(v >= tot_u, tot_u - 1, v).astype(jnp.int32)
+    lo16 = cum & 0xFFFF
+    hi16 = cum >> 16
+    # find_value: C is strictly increasing (freqs >= 1 always), so
+    # "entry > v" <=> "index >= sym"; count over both halves
+    gt_lo = lo16 > v[None, :]
+    gt_hi = hi16 > v[None, :]
+    sym = 256 - jnp.sum(gt_lo.astype(jnp.int32) + gt_hi.astype(jnp.int32),
+                        axis=0)
+    big = jnp.int32(1 << 20)
+    cum_hi = jnp.minimum(
+        jnp.min(jnp.where(gt_lo, lo16, big), axis=0),
+        jnp.min(jnp.where(gt_hi, hi16, big), axis=0))     # C[sym]
+    cum_lo = jnp.maximum(
+        jnp.max(jnp.where(gt_lo, 0, lo16), axis=0),
+        jnp.max(jnp.where(gt_hi, 0, hi16), axis=0))       # C[sym-1]
+    cum_lo_u = cum_lo.astype(jnp.uint32)
+    f_u = (cum_hi - cum_lo).astype(jnp.uint32)
+    low2 = low + r * cum_lo_u
+    rng2 = r * f_u
+    # fetch the next 4 stream bytes (same mechanics as v1/v2)
+    widx = posB >> 2
+    m0 = iotaW == widx[None, :]
+    m1 = iotaW == (widx + 1)[None, :]
+    w0 = jnp.sum(jnp.where(m0, win_i, 0), axis=0).astype(jnp.uint32)
+    w1 = jnp.sum(jnp.where(m1, win_i, 0), axis=0).astype(jnp.uint32)
+    b = posB & 3
+    wrd = jnp.where(
+        b == 0, w0,
+        jnp.where(b == 1, (w0 << 8) | (w1 >> 24),
+                  jnp.where(b == 2, (w0 << 16) | (w1 >> 16),
+                            (w0 << 24) | (w1 >> 8))))
+    pulled = jnp.zeros_like(posB)
+    for rd_ in range(4):
+        settled = ((low2 ^ (low2 + rng2)) < TOP)
+        force = (~settled) & (rng2 < BOT)
+        rng2 = jnp.where(force, (~low2 + 1) & (BOT - 1), rng2)
+        pull = (settled | force) & active
+        byte = wrd >> 24
+        for kk in range(1, rd_ + 1):
+            byte = jnp.where(pulled == kk, (wrd >> (24 - 8 * kk)), byte)
+        byte = byte & jnp.uint32(0xFF)
+        code = jnp.where(pull, (code << 8) | byte, code)
+        low2 = jnp.where(pull, low2 << 8, low2)
+        rng2 = jnp.where(pull, rng2 << 8, rng2)
+        pulled = pulled + pull.astype(jnp.int32)
+    posB = posB + jnp.where(active, pulled, 0)
+    # model update: freq[sym] += inc <=> C[k] += inc for k >= sym, which
+    # is exactly the gt masks — one masked add per half, still packed
+    rowadd = (jnp.where(gt_lo, jnp.int32(increment), 0)
+              + jnp.where(gt_hi, jnp.int32(increment) << 16, 0))
+    cum2 = jnp.where(active[None, :], cum + rowadd, cum)
+    tot2 = jnp.where(active, tot + increment, tot)
+    low = jnp.where(active, low2, low)
+    rng = jnp.where(active, rng2, rng)
+    return low, rng, code, cum2, tot2, posB, sym
+
+
+def _apply_halving_gated_packed(cum, tot, active, threshold: int):
+    """Gated oracle downscale on the packed table (shares the encoder's
+    integer-exact packed halving)."""
+    from tpuzip.kernels.range_coder import _halved_cumsum_packed
+
+    scale = active & (tot >= threshold)
+
+    def yes(ct):
+        c, t = ct
+        nc, ntots = _halved_cumsum_packed(c)
+        return (jnp.where(scale[None, :], nc, c),
+                jnp.where(scale, ntots, t))
+
+    return jax.lax.cond(jnp.any(scale), yes, lambda ct: ct, (cum, tot))
+
+
+def _packed_cum_init(lanes: int):
+    """Uniform model C[k] = k+1 in packed-pair layout."""
+    p0 = jax.lax.broadcasted_iota(jnp.int32, (128, lanes), 0)
+    return (2 * p0 + 1) | ((2 * p0 + 2) << 16)
+
+
+def _ari_decode_kernel_v3(win_ref, code0_ref, len_ref, out_ref,
+                          low_r, rng_r, code_r, cum_r, total, *,
+                          increment: int, threshold: int, w: int):
+    lanes = out_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        low_r[0, :] = jnp.zeros((lanes,), jnp.uint32)
+        rng_r[0, :] = jnp.full((lanes,), 0xFFFFFFFF, jnp.uint32)
+        code_r[0, :] = code0_ref[0, :]
+        cum_r[:, :] = _packed_cum_init(lanes)
+        total[0, :] = jnp.full((lanes,), 256, jnp.int32)
+
+    iotaW = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
+    win_i = win_ref[:, :].astype(jnp.int32)
+    lens = len_ref[0, :]
+
+    def group_body(g, posB):
+        rows = []
+        low = low_r[0, :]
+        rng = rng_r[0, :]
+        code = code_r[0, :]
+        cum = cum_r[:, :]
+        tot = total[0, :]
+        for j in range(GROUP):
+            step = pl.program_id(0) * CHUNK_STEPS + g * GROUP + j
+            active = step < lens
+            low, rng, code, cum, tot, posB, sym = _decode_step_cum_packed(
+                low, rng, code, cum, tot, posB, active, win_i, iotaW,
+                increment)
+            cum, tot = _apply_halving_gated_packed(cum, tot, active,
+                                                   threshold)
+            rows.append(sym.astype(jnp.uint8))
+        low_r[0, :] = low
+        rng_r[0, :] = rng
+        code_r[0, :] = code
+        cum_r[:, :] = cum
+        total[0, :] = tot
+        out_ref[pl.ds(g * GROUP, GROUP), :] = jnp.stack(rows)
+        return posB
+
+    jax.lax.fori_loop(0, CHUNK_STEPS // GROUP, group_body,
+                      jnp.zeros((lanes,), jnp.int32))
+
+
 def _ari_decode_kernel_v2(win_ref, code0_ref, len_ref, out_ref,
                           low_r, rng_r, code_r, cum_r, total, *,
                           increment: int, threshold: int, w: int):
@@ -463,14 +604,28 @@ def ari_decode_lanes(windows: jnp.ndarray, code0: jnp.ndarray,
     u32 = first 4 stream bytes BE; lens (LANES,) i32 symbol counts.
     Returns (NC*CHUNK_STEPS, LANES) u8 decoded symbols (time-major).
 
-    algo="cum": incremental cumulative-table state, halving gated behind a
-    real branch (the fast path).  algo="dot": per-step matmul recompute
-    (the v1 formulation, kept for A/B)."""
+    algo="packed": u16-packed cumulative pairs (the fast path — halves
+    per-step VMEM traffic; requires threshold+increment <= 2^15).
+    algo="cum": unpacked f32 cumulative-table state.  algo="dot": per-step
+    matmul recompute (the v1 formulation, kept for A/B)."""
     total_rows, lanes = windows.shape
     assert lanes % LANES == 0 and total_rows % w == 0
     nc = total_rows // w
     n = nc * CHUNK_STEPS
-    if algo == "cum":
+    if algo == "packed":
+        assert threshold + increment <= (1 << 15), \
+            "packed decode requires threshold + increment <= 32768"
+        kern = functools.partial(_ari_decode_kernel_v3,
+                                 increment=increment,
+                                 threshold=threshold, w=w)
+        scratch = [
+            pltpu.VMEM((1, lanes), jnp.uint32),     # low
+            pltpu.VMEM((1, lanes), jnp.uint32),     # range
+            pltpu.VMEM((1, lanes), jnp.uint32),     # code
+            pltpu.VMEM((128, lanes), jnp.int32),    # packed cum pairs
+            pltpu.VMEM((1, lanes), jnp.int32),      # total
+        ]
+    elif algo == "cum":
         kern = functools.partial(_ari_decode_kernel_v2,
                                  increment=increment,
                                  threshold=threshold, w=w)
@@ -537,7 +692,14 @@ def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
         def step_body(c2, j):
             low, rng, code, ft, tot, posB = c2
             active = (k * CHUNK_STEPS + j) < lens
-            if algo == "cum":
+            if algo == "packed":
+                low, rng, code, ft, tot, posB, sym = \
+                    _decode_step_cum_packed(
+                        low, rng, code, ft, tot, posB, active, win_i,
+                        iotaW, increment)
+                ft, tot = _apply_halving_gated_packed(ft, tot, active,
+                                                      threshold)
+            elif algo == "cum":
                 low, rng, code, ft, tot, posB, sym = _decode_step_cum(
                     low, rng, code, ft, tot, posB, active, win_i, iotaW,
                     increment)
@@ -554,7 +716,9 @@ def ari_decode_reference(windows: jnp.ndarray, code0: jnp.ndarray,
             jnp.arange(CHUNK_STEPS, dtype=jnp.int32))
         return (low, rng, code, ft, tot), syms
 
-    if algo == "cum":
+    if algo == "packed":
+        table0 = _packed_cum_init(lanes)
+    elif algo == "cum":
         table0 = (jax.lax.broadcasted_iota(jnp.int32, (256, lanes), 0)
                   + 1).astype(jnp.float32)
     else:

@@ -474,7 +474,12 @@ def lz4_decode_wplan16_batch(comp: np.ndarray, clens: np.ndarray,
     b, scap = comp.shape
     lens = _contig(clens, np.int32)
     if patch_cap is None:
-        patch_cap = 2 * out_cap + 64  # 16B quads patch more often than 8B
+        # the run-based parse patches consecutive windows as one span, so
+        # patch bytes are bounded by 16*ceil(out/16) <= out+15 (the old
+        # byte-plan builder could double them); the tighter budget halves
+        # the device virtual table — the wplan16 gather was table-size
+        # bound at 2*out (342 vs 369 MB/s for wplan8 despite half the rows)
+        patch_cap = out_cap + 80
     patch_cap = (patch_cap + 15) & ~15
     nw = max((out_cap + 15) // 16, 1)
     wplans = np.zeros((b, nw), np.int32)
