@@ -222,3 +222,51 @@ def test_dc_scan_kernel_interpret_oracle_parity(rng):
         jnp.array(bad), jnp.array(lens), n, n, interpret=_interp())
     errs = np.asarray(errs)[:4]
     assert errs[2] != 0 and errs[[0, 1, 3]].sum() == 0
+
+
+def test_ari_decode_packed_vs_cum_reference_with_halving(rng):
+    """Round-4 packed decode (u16-pair cum table): both reference algos
+    must decode the kernel-format streams bit-exactly across halving
+    crossings (threshold 512 -> ~56 downscales over 512 symbols), and the
+    packed algo must refuse out-of-range knobs (threshold+inc > 2^15)."""
+    import jax
+    import pytest
+
+    from tpuzip.codecs import ari as jari
+    from tpuzip.kernels import range_decoder as rdk
+
+    n, lanes = 8 * rdk.CHUNK_STEPS, 128
+    THR, INC = 512, 8
+    X = np.zeros((n, lanes), np.uint8)
+    for l in range(lanes):
+        X[:, l] = rng.integers(0, 256 if l % 2 else 16, n)
+    lens = np.full(lanes, n, np.int32)
+    # XLA encode (bit-identical streams + counts; the Pallas encoder
+    # needs interpret mode on CPU and is covered by the round-trip test)
+    comp, clens, counts = jax.jit(jax.vmap(
+        lambda bb, ll: jari.encode_with_counts(
+            bb, ll, increment=INC, threshold=THR)))(
+        jnp.array(X.T), jnp.array(lens))
+    st = np.zeros((lanes, 2 * n + 64), np.uint8)
+    got = np.asarray(comp)
+    st[:, : got.shape[1]] = got[:, : st.shape[1]]
+    cs = rdk.CHUNK_STEPS
+    deltas = np.asarray(counts).reshape(lanes, -1, cs).sum(
+        axis=2).astype(np.int32)
+    dt = jnp.array(deltas.T)
+    w = rdk.window_words(max(int(deltas.max()), 1))
+    starts = 4 + jnp.cumsum(dt, axis=0) - dt
+    wins = rdk.build_windows(jnp.transpose(jnp.array(st)), starts, w)
+    cu = st[:, :4].astype(np.uint32)
+    code0 = jnp.array((cu[:, 0] << 24) | (cu[:, 1] << 16)
+                      | (cu[:, 2] << 8) | cu[:, 3])
+    for algo in ("packed", "cum"):
+        syms = np.asarray(rdk.ari_decode_reference(
+            wins, code0, jnp.array(lens), w=w, algo=algo,
+            increment=INC, threshold=THR))
+        for l in (0, 1, 63, 127):
+            assert syms[:, l].tobytes() == X[:, l].tobytes(), (algo, l)
+    with pytest.raises(AssertionError):
+        rdk.ari_decode_lanes(wins, code0, jnp.array(lens), w=w,
+                             algo="packed", increment=8,
+                             threshold=(1 << 15))

@@ -93,7 +93,7 @@ def gather_ragged_payloads(local_payload: bytes,
 def compress_corpus_multihost(data: bytes, codec: str = "lz4",
                               block_size: int = 1 << 16,
                               block_checksums: bool = False,
-                              config=None) -> bytes:
+                              config=None, metrics=None) -> bytes:
     """Each host encodes its block range; host 0's view of the gathered
     container is returned (identical on every host).
 
@@ -117,11 +117,18 @@ def compress_corpus_multihost(data: bytes, codec: str = "lz4",
     # local encode of the owned range (padded to local device count)
     local_devices = jax.local_devices()
     local_mesh = meshlib.make_mesh(len(local_devices), devices=local_devices)
+    if metrics is None:
+        from tpuzip.utils.metrics import RunMetrics
+
+        metrics = RunMetrics()
     local_data = blk.unchunk(blocks[lo:hi], lengths[lo:hi])
-    local_container = runner.compress(local_data, codec=codec,
-                                      block_size=block_size, mesh=local_mesh,
-                                      block_checksums=block_checksums,
-                                      config=config)
+    with metrics.phase("local_encode", bytes_in=len(local_data),
+                       blocks=hi - lo):
+        local_container = runner.compress(local_data, codec=codec,
+                                          block_size=block_size,
+                                          mesh=local_mesh,
+                                          block_checksums=block_checksums,
+                                          config=config)
     # parse the local header: 4 magic + 1 codec + 1 flags + IIQI(20) = 26
     # bytes, then the u32 length table, then (flags&1) the u32 checksum
     # table, then (flags&4) the 6-byte <HI> ari inc/thr trailer, then the
@@ -159,10 +166,11 @@ def compress_corpus_multihost(data: bytes, codec: str = "lz4",
     real = hi - lo
     local_sizes = local_sizes[:real]
     payload_len = int(local_sizes.sum())
-    payload, sizes = gather_ragged_payloads(
-        local_container[off : off + payload_len], local_sizes)
-    if flags & 1:
-        bsums = allgather_ragged_rows(local_bsums[:real])
+    with metrics.phase("dcn_gather", bytes_in=payload_len, blocks=real):
+        payload, sizes = gather_ragged_payloads(
+            local_container[off : off + payload_len], local_sizes)
+        if flags & 1:
+            bsums = allgather_ragged_rows(local_bsums[:real])
     hdr = bytearray(runner.MAGIC)
     hdr.append(runner.CODECS[codec])
     hdr.append(flags)

@@ -599,15 +599,18 @@ def ari_decode_lanes(windows: jnp.ndarray, code0: jnp.ndarray,
                      lens: jnp.ndarray, w: int = W_BUCKETS[-1],
                      increment: int = 8, threshold: int = 1 << 13,
                      interpret: bool = False,
-                     algo: str = "cum") -> jnp.ndarray:
+                     algo: str | None = None) -> jnp.ndarray:
     """windows: (NC*w, LANES) u32 prepacked chunk windows; code0 (LANES,)
     u32 = first 4 stream bytes BE; lens (LANES,) i32 symbol counts.
     Returns (NC*CHUNK_STEPS, LANES) u8 decoded symbols (time-major).
 
-    algo="packed": u16-packed cumulative pairs (the fast path — halves
-    per-step VMEM traffic; requires threshold+increment <= 2^15).
-    algo="cum": unpacked f32 cumulative-table state.  algo="dot": per-step
-    matmul recompute (the v1 formulation, kept for A/B)."""
+    algo="packed": u16-packed cumulative pairs (production — 339 vs 302
+    MB/s on chip vs "cum"; requires threshold+increment <= 2^15, which
+    algo=None falls back past).  algo="cum": unpacked f32
+    cumulative-table state.  algo="dot": per-step matmul recompute (the
+    v1 formulation, kept for A/B)."""
+    if algo is None:
+        algo = "packed" if threshold + increment <= (1 << 15) else "cum"
     total_rows, lanes = windows.shape
     assert lanes % LANES == 0 and total_rows % w == 0
     nc = total_rows // w
