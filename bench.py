@@ -340,9 +340,13 @@ def main() -> None:
     if liblz4.available():
         piece = lz_data if native.available() else data
         cc = liblz4.compress_block(piece)
-        ce = len(piece) / timed_host(lambda: liblz4.compress_block(piece))
+        # the BASELINE itself swung 24% between consecutive runs at
+        # best-of-3 (shared-VM jitter on ms-scale calls) — more samples
+        # are nearly free and vs_liblz4 inherits every wiggle
+        ce = len(piece) / timed_host(
+            lambda: liblz4.compress_block(piece), iters=9)
         cd = len(piece) / timed_host(
-            lambda: liblz4.decompress_block(cc, len(piece)))
+            lambda: liblz4.decompress_block(cc, len(piece)), iters=9)
         detail["lz4"]["cpu_liblz4_combined_MBps"] = round(
             2.0 / (1.0 / ce + 1.0 / cd) / 1e6, 1)
         detail["lz4"]["vs_liblz4"] = round(
@@ -360,7 +364,10 @@ def main() -> None:
         jbwt.decode_batch_fast(L_, o, l, walkers_log2=0)[:4, :4]
         .astype(jnp.int32)))
     int(bwt_dec_f(L, orgs, jl128))
-    bwt_dec = B * N / timed(lambda: int(bwt_dec_f(L, orgs, jl128)))
+    # min-of-5: the scalar fetch rides the tunnel RTT, which jittered
+    # this device rate 25% run-to-run at mean-of-3
+    bwt_dec = B * N / timed_host(lambda: int(bwt_dec_f(L, orgs, jl128)),
+                                 iters=5)
     detail["bwt"] = {"forward_MBps": round(bwt_enc / 1e6, 1),
                      "inverse_device_MBps": round(bwt_dec / 1e6, 1)}
     if native.available():

@@ -694,12 +694,15 @@ def _bin_encode_auto(blocks, lengths, model_bits: int, rate: int,
     if jax.devices()[0].platform == "tpu":
         from tpuzip.kernels import bin_coder as kbin
 
+        from tpuzip.kernels.range_coder import lane_width
+
         bits = jbin.bytes_to_bits(jnp.asarray(blocks))
         comp_np = np.zeros((b, cap), np.uint8)
         clens = np.zeros(b, np.int64)
         lens8 = jnp.asarray(lengths, jnp.int32) * 8
-        for g in range(0, b, kbin.LANES):
-            gb = min(kbin.LANES, b - g)
+        width = lane_width(b)  # wide groups amortize per-step fixed cost
+        for g in range(0, b, width):
+            gb = min(width, b - g)
             streams = kbin.bin_encode_streams(
                 bits[g : g + gb], lens8[g : g + gb],
                 use_apm=use_apm, model_bits=model_bits, rate=rate)
