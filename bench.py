@@ -382,6 +382,20 @@ def main() -> None:
                 lambda: native.bwt_inverse_batch(Lnp, lnp, onp)) / 1e6, 1)
         assert inv[0, :N].tobytes() == blocks[0].tobytes()
 
+    # ---------------------------------------------------- bin coder
+    # (r4 lane widening: 63 -> 446 MB/s at 128 -> 1024 lanes)
+    from tpuzip.codecs import bin_apm as jbin
+    from tpuzip.kernels import bin_coder as kbin
+
+    bits = jbin.bytes_to_bits(jnp.array(wide[:, : N // 4]))
+    xb = jnp.transpose(bits)
+    jlb = jnp.full(BW, 8 * (N // 4), jnp.int32)
+    bin_sync = jax.jit(lambda a, b_: jnp.sum(
+        kbin.bin_encode_lanes(a, b_)[1][:8, :8].astype(jnp.int32)))
+    int(bin_sync(xb, jlb))
+    detail["bin_kernel_MBps"] = round(
+        BW * (N // 4) / timed(lambda: int(bin_sync(xb, jlb))) / 1e6, 1)
+
     print(json.dumps({
         "metric": "ari_encode+decode_throughput",
         "value": round(ari_combined / 1e9, 4),

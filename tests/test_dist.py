@@ -626,3 +626,19 @@ def test_lz4_to_device_direct_serving_probe():
     comp, cl = native.lz4_compress_batch(payload_blocks, lengths)
     assert runner._lz4_serve_direct(comp, cl.astype(np.int32),
                                     lengths.astype(np.int64), 4096)
+
+
+def test_multihost_compress_metrics_phases():
+    """compress_corpus_multihost records the local_encode / dcn_gather
+    phase split (round-4: feeds bench/scaling_efficiency.py)."""
+    from tpuzip.dist import multihost
+    from tpuzip.utils.metrics import RunMetrics
+
+    data = b"phase accounting corpus " * 2000
+    m = RunMetrics()
+    c = multihost.compress_corpus_multihost(data, codec="lz4",
+                                            block_size=4096, metrics=m)
+    assert runner.decompress(c) == data
+    assert m.phases["local_encode"].bytes_in == len(data)
+    assert m.phases["local_encode"].seconds > 0
+    assert "dcn_gather" in m.phases  # identity gather at 1 process

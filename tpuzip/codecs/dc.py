@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tpuzip.core.bitio import pack_bytes_varlen
+from tpuzip.core.bitio import (pack_bytes_varlen,
+                               pack_bytes_varlen_sorted)
 
 VARINT_MAX = 5  # u32 varints
 HDR = 4 + 256 * 4
@@ -58,22 +59,19 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
     run_id = jnp.cumsum(head.astype(jnp.int32)) - 1
     num_runs = jnp.maximum(run_id[-1] + 1, 0)
 
-    # dense per-run tables (runs <= n)
-    rid = jnp.where(head, run_id, n)
-    run_start = jnp.full(n + 1, 0, jnp.int32).at[rid].max(
-        jnp.where(head, idx, 0), mode="drop")[:n]
-    run_sym = jnp.zeros(n + 1, jnp.int32).at[rid].max(
-        jnp.where(head, d, 0), mode="drop")[:n]
+    # per-run tables by SORT-COMPACTION, not scatter: batched row sorts
+    # run ~244M keys/s on v5e vs ~48M scattered elems (docs/DESIGN.md) —
+    # the scatter version of this function measured 6.8 MB/s/chip inside
+    # the bwtdc chain at 1024-block batches (bench/gib_chip_r4.json).
+    # run_id is strictly increasing on heads, so compaction keys are
+    # unique where valid; ties only among the masked tail.
+    rid_key = jnp.where(head, run_id, n)
+    _, run_start, run_sym = lax.sort(
+        (rid_key, idx, d), num_keys=1, is_stable=True)
     r_valid = jnp.arange(n) < num_runs
     nxt_start = jnp.concatenate([run_start[1:], jnp.array([0], jnp.int32)])
     run_end = jnp.where(jnp.arange(n) == num_runs - 1, length, nxt_start)
     run_end = jnp.where(r_valid, run_end, 0)
-
-    # first occurrence per symbol: scatter-min of head positions
-    first = jnp.full(256, 0x7FFFFFFF, jnp.int32).at[
-        jnp.where(head, d, 256)].min(jnp.where(head, idx, 0x7FFFFFFF),
-                                     mode="drop")
-    first = jnp.where(first == 0x7FFFFFFF, length, first)
 
     # next head of the same symbol: stable sort runs by (sym, start)
     key_sym = jnp.where(r_valid, run_sym, 257)
@@ -86,7 +84,16 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
     same_sym = jnp.concatenate([sym_sorted[1:] == sym_sorted[:-1],
                                 jnp.array([False])])
     next_head_sorted = jnp.where(same_sym, nxt_same, -1)
-    next_head = jnp.zeros(n, jnp.int32).at[perm].set(next_head_sorted)
+    # first occurrence per symbol: within a sym group the sort above is
+    # start-ascending, so the group head IS the min head position — read
+    # the dense 256-table with a binary search instead of a scatter-min
+    qpos = jnp.searchsorted(sym_sorted, jnp.arange(256, dtype=jnp.int32))
+    qpos = jnp.minimum(qpos, n - 1)
+    first = jnp.where(sym_sorted[qpos] == jnp.arange(256),
+                      start_sorted[qpos], length)
+    # un-permute via sort (perm is a permutation: unique keys)
+    _, next_head = lax.sort((perm, next_head_sorted), num_keys=1,
+                            is_stable=False)
 
     dists = jnp.where(next_head >= 0, next_head - (run_end - 1), 0)
     dists = jnp.where(r_valid, dists, 0)
@@ -98,7 +105,7 @@ def encode(block: jnp.ndarray, length: jnp.ndarray,
     hdr_vals = jnp.concatenate([length[None], first])
     hdr = jnp.stack([(hdr_vals >> (8 * k)) & 0xFF for k in range(4)],
                     axis=1).reshape(-1).astype(jnp.uint8)
-    body, body_len = pack_bytes_varlen(vb, vl, cap - HDR)
+    body, body_len = pack_bytes_varlen_sorted(vb, vl, cap - HDR)
     out = jnp.zeros(cap, jnp.uint8).at[:HDR].set(hdr)
     out = lax.dynamic_update_slice(out, body, (HDR,))[:cap]
     # re-zero past the body (dynamic_update_slice wrote the whole buffer)

@@ -18,6 +18,34 @@ def exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c[:-1]])
 
 
+def pack_bytes_varlen_sorted(chunks: jnp.ndarray, lens: jnp.ndarray,
+                             cap: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """pack_bytes_varlen via sort-compaction instead of scatter.
+
+    Identical contract; on v5e, batched row sorts run ~244M keys/s while
+    batched scatters run ~48M elems/s (docs/DESIGN.md) — under vmap this
+    variant is ~5x faster for T*K in the 100K+ range.  Valid bytes get
+    unique contiguous destination keys 0..total-1, so the stable sort IS
+    the compaction; masked bytes all key to `cap` and fall off the slice."""
+    import jax
+
+    t, k = chunks.shape
+    offs = exclusive_cumsum(lens.astype(jnp.int32))
+    col = jnp.arange(k, dtype=jnp.int32)[None, :]
+    mask = col < lens[:, None]
+    key = jnp.where(mask, offs[:, None] + col, cap).reshape(-1)
+    _, b_sorted = jax.lax.sort(
+        [key, chunks.reshape(-1).astype(jnp.int32)], num_keys=1,
+        is_stable=False)  # keys unique where valid; ties all masked
+    total = offs[-1] + lens[-1]
+    npad = max(cap - t * k, 0)
+    body = jnp.concatenate(
+        [b_sorted, jnp.zeros(npad, jnp.int32)])[:cap] if npad else \
+        b_sorted[:cap]
+    out = jnp.where(jnp.arange(cap) < total, body, 0).astype(jnp.uint8)
+    return out, total
+
+
 def pack_bytes_varlen(chunks: jnp.ndarray, lens: jnp.ndarray,
                       cap: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Concatenate T variable-length byte chunks in parallel.
