@@ -107,3 +107,22 @@ def test_jax_rle_vs_oracle(samples):
 def test_jax_rle_long_runs():
     for n in (255, 256, 257, 258, 511, 512, 513, 1000):
         _jax_rle_roundtrip(b"z" * n)
+
+
+def test_pack_bytes_varlen_sorted_matches_scatter(rng):
+    """The sort-compaction packer (round 4, DC encode hot path) is a
+    drop-in for the scatter packer on fuzzed shapes incl. zero-length
+    chunks and tight caps."""
+    import numpy as np
+
+    for _ in range(20):
+        t = int(rng.integers(1, 40))
+        k = int(rng.integers(1, 9))
+        chunks = jnp.array(rng.integers(0, 256, (t, k)), jnp.uint8)
+        lens = jnp.array(rng.integers(0, k + 1, t), jnp.int32)
+        cap = int(lens.sum()) + int(rng.integers(0, 16))
+        cap = max(cap, 1)
+        a, ta = bitio.pack_bytes_varlen(chunks, lens, cap)
+        b, tb = bitio.pack_bytes_varlen_sorted(chunks, lens, cap)
+        assert int(ta) == int(tb)
+        assert np.asarray(a).tolist() == np.asarray(b).tolist()
