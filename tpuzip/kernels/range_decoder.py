@@ -375,21 +375,31 @@ def _decode_step_cum_packed(low, rng, code, cum, tot, posB, active, win_i,
     r, _ = u32_div_exact(rng, tot_u)
     v, _ = u32_div_exact(code - low, r)
     v = jnp.where(v >= tot_u, tot_u - 1, v).astype(jnp.int32)
-    lo16 = cum & 0xFFFF
-    hi16 = cum >> 16
-    # find_value: C is strictly increasing (freqs >= 1 always), so
-    # "entry > v" <=> "index >= sym"; count over both halves
-    gt_lo = lo16 > v[None, :]
-    gt_hi = hi16 > v[None, :]
-    sym = 256 - jnp.sum(gt_lo.astype(jnp.int32) + gt_hi.astype(jnp.int32),
-                        axis=0)
-    big = jnp.int32(1 << 20)
-    cum_hi = jnp.minimum(
-        jnp.min(jnp.where(gt_lo, lo16, big), axis=0),
-        jnp.min(jnp.where(gt_hi, hi16, big), axis=0))     # C[sym]
-    cum_lo = jnp.maximum(
-        jnp.max(jnp.where(gt_lo, 0, lo16), axis=0),
-        jnp.max(jnp.where(gt_hi, 0, hi16), axis=0))       # C[sym-1]
+    # find_value, SWAR: C is strictly increasing (freqs >= 1 always), so
+    # "entry > v" <=> "index >= sym".  One guard-bit add classifies BOTH
+    # u16 halves per i32 row at once: with every value < 2^15 and
+    # add = 0x8000 - (v+1) in each half, bit 15 (lo) / bit 31 (hi) of
+    # cum + add is set exactly when that half is >= v+1, and the lo-half
+    # sum stays < 2^16 so no carry crosses into the hi half.
+    vv1 = v + 1                           # <= tot <= 2^15
+    addl = jnp.int32(1 << 15) - vv1       # in [0, 2^15)
+    s = cum + (addl | (addl << 16))[None, :]
+    glo = (s >> 15) & 1
+    ghi = (s >> 31) & 1                   # arithmetic shift; &1 is exact
+    sym = 256 - jnp.sum(glo + ghi, axis=0)
+    # C[sym], C[sym-1] by the encoder's pair-row onehot read (cheaper
+    # than the masked min/max reductions this replaces)
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, cum.shape[1]), 0)
+    p = sym >> 1
+    odd = (sym & 1) == 1
+    mprev = iota128 == (p - 1)[None, :]
+    mcur = iota128 == p[None, :]
+    accm1 = jnp.sum(jnp.where(mprev, cum, 0), axis=0)
+    acc0 = jnp.sum(jnp.where(mcur, cum, 0), axis=0)
+    lo0 = acc0 & 0xFFFF
+    hi0 = acc0 >> 16
+    cum_hi = jnp.where(odd, hi0, lo0)                 # C[sym]
+    cum_lo = jnp.where(odd, lo0, accm1 >> 16)         # C[sym-1]
     cum_lo_u = cum_lo.astype(jnp.uint32)
     f_u = (cum_hi - cum_lo).astype(jnp.uint32)
     low2 = low + r * cum_lo_u
@@ -422,9 +432,8 @@ def _decode_step_cum_packed(low, rng, code, cum, tot, posB, active, win_i,
         pulled = pulled + pull.astype(jnp.int32)
     posB = posB + jnp.where(active, pulled, 0)
     # model update: freq[sym] += inc <=> C[k] += inc for k >= sym, which
-    # is exactly the gt masks — one masked add per half, still packed
-    rowadd = (jnp.where(gt_lo, jnp.int32(increment), 0)
-              + jnp.where(gt_hi, jnp.int32(increment) << 16, 0))
+    # is exactly the SWAR guard bits — one packed multiply-add
+    rowadd = (glo | (ghi << 16)) * jnp.int32(increment)
     cum2 = jnp.where(active[None, :], cum + rowadd, cum)
     tot2 = jnp.where(active, tot + increment, tot)
     low = jnp.where(active, low2, low)
