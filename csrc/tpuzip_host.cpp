@@ -2078,13 +2078,20 @@ inline int32_t bin_upd(int32_t p0, int bit, int bits, int rate) {
 
 int64_t tpz_bin_encode(const uint8_t* src, int64_t n, uint8_t* dst,
                        int64_t cap, int bits, int rate, int use_apm,
-                       int apm_rate) {
+                       int apm_rate, int32_t* deltas) {
+  // deltas (nullable): bytes emitted per 256-bit chunk - the fast-decode
+  // chunk index the Pallas lane decoder needs (mirrors the ari coder's
+  // index so host- and chip-written bin containers stay interchangeable)
   uint32_t low = 0, range = 0xFFFFFFFFu;
   int32_t p0 = 1 << (bits - 1);
   ApmGateC gate;
   gate.init();
-  int64_t o = 0;
+  int64_t o = 0, chunk_o = 0;
   for (int64_t i = 0; i < 8 * n; ++i) {
+    if (deltas && i && (i & 255) == 0) {
+      deltas[(i >> 8) - 1] = (int32_t)(o - chunk_o);
+      chunk_o = o;
+    }
     int bit = (src[i >> 3] >> (7 - (i & 7))) & 1;
     uint32_t denom_bits, split;
     if (use_apm) {
@@ -2114,6 +2121,7 @@ int64_t tpz_bin_encode(const uint8_t* src, int64_t n, uint8_t* dst,
     if (use_apm) gate.update(bit, apm_rate);
     p0 = bin_upd(p0, bit, bits, rate);
   }
+  if (deltas && n > 0) deltas[(8 * n - 1) >> 8] = (int32_t)(o - chunk_o);
   for (int k = 0; k < 4; ++k) {
     if (o >= cap) return -1;
     dst[o++] = (uint8_t)(low >> 24);
@@ -2551,7 +2559,22 @@ void tpz_bin_encode_batch(const uint8_t* src, int64_t b, int64_t cap,
                           int use_apm, int apm_rate, int nthreads) {
   parallel_blocks(b, nthreads, [&](int64_t i) {
     out_lens[i] = tpz_bin_encode(src + i * cap, lens[i], dst + i * dcap,
-                                 dcap, bits, rate, use_apm, apm_rate);
+                                 dcap, bits, rate, use_apm, apm_rate,
+                                 nullptr);
+  });
+}
+
+void tpz_bin_encode_indexed_batch(const uint8_t* src, int64_t b,
+                                  int64_t cap, const int32_t* lens,
+                                  uint8_t* dst, int64_t dcap,
+                                  int64_t* out_lens, int32_t* deltas,
+                                  int64_t nc, int bits, int rate,
+                                  int use_apm, int apm_rate,
+                                  int nthreads) {
+  parallel_blocks(b, nthreads, [&](int64_t i) {
+    out_lens[i] = tpz_bin_encode(src + i * cap, lens[i], dst + i * dcap,
+                                 dcap, bits, rate, use_apm, apm_rate,
+                                 deltas + i * nc);
   });
 }
 

@@ -642,3 +642,74 @@ def test_multihost_compress_metrics_phases():
     assert m.phases["local_encode"].bytes_in == len(data)
     assert m.phases["local_encode"].seconds > 0
     assert "dcn_gather" in m.phases  # identity gather at 1 process
+
+
+@pytest.mark.parametrize("codec", ["bin", "apm"])
+def test_bin_apm_to_device_lane_decoder(codec):
+    """Round-4 chunk-indexed bin/apm serving decode: to_device routes
+    through the lane decoder (XLA reference replica off-TPU — identical
+    step math to the Pallas kernel) and must match the host bytes."""
+    mesh = meshlib.make_mesh(8)
+    data = (b"binary serving corpus \x00\xff " * 700)[:16000]
+    c = runner.compress(data, codec=codec, block_size=2048, mesh=mesh)
+    assert c[5] & 2, "bin containers must carry the chunk index (flag 2)"
+    assert runner.decompress(c, mesh=mesh) == data
+    blocks, olens, orig = runner.decompress(c, mesh=mesh, to_device=True)
+    flat = b"".join(bytes(bytearray(b)[:int(n)])
+                    for b, n in zip(blocks, olens))[:orig]
+    assert flat == data
+
+
+def test_bin_nondefault_knobs_indexed_roundtrip():
+    from tpuzip.core.config import Config
+
+    mesh = meshlib.make_mesh(8)
+    cfg = Config()
+    cfg.codec.ari.bin_bits = 11
+    cfg.codec.ari.bin_rate = 4
+    data = bytes((i * 37) % 251 for i in range(9000))
+    c = runner.compress(data, codec="bin", block_size=4096, mesh=mesh,
+                        config=cfg)
+    assert c[5] & 2 and c[5] & 4
+    assert runner.decompress(c, mesh=mesh) == data
+    blocks, olens, orig = runner.decompress(c, mesh=mesh, to_device=True)
+    flat = b"".join(bytes(bytearray(b)[:int(n)])
+                    for b, n in zip(blocks, olens))[:orig]
+    assert flat == data
+
+
+def test_bin_unindexed_container_still_decodes():
+    """Foreign/old bin containers without the flag-2 chunk index decode
+    through the XLA bit scan."""
+    import struct
+
+    mesh = meshlib.make_mesh(8)
+    data = b"back compat bits " * 300
+    c = runner.compress(data, codec="bin", block_size=2048, mesh=mesh)
+    # rebuild the container without the per-block index heads
+    assert c[:4] == runner.MAGIC
+    flags = c[5]
+    assert flags & 2
+    block_size, B, orig_len, a32 = struct.unpack_from("<IIQI", c, 6)
+    off = 26
+    clens = [struct.unpack_from("<I", c, off + 4 * i)[0] for i in range(B)]
+    off += 4 * B
+    payload = c[off:]
+    new_payload = bytearray()
+    new_clens = []
+    pos = 0
+    for n in clens:
+        blob = payload[pos : pos + n]
+        pos += n
+        ilen = int.from_bytes(blob[:4], "little")
+        stream = blob[4 + ilen :]
+        new_clens.append(len(stream))
+        new_payload += stream
+    hdr = bytearray(runner.MAGIC)
+    hdr.append(runner.CODECS["bin"])
+    hdr.append(flags & ~2)
+    hdr += struct.pack("<IIQI", block_size, B, orig_len, a32)
+    for n in new_clens:
+        hdr += struct.pack("<I", n)
+    assert runner.decompress(bytes(hdr) + bytes(new_payload),
+                             mesh=mesh) == data

@@ -270,3 +270,47 @@ def test_ari_decode_packed_vs_cum_reference_with_halving(rng):
         rdk.ari_decode_lanes(wins, code0, jnp.array(lens), w=w,
                              algo="packed", increment=8,
                              threshold=(1 << 15))
+
+
+def test_bin_decode_kernel_interpret_round_trip(rng):
+    """The round-4 bin/apm lane DECODER body executes on CPU under the
+    TPU-semantics interpreter and must invert the encoder bit-exactly
+    through the chunk-index window prepack (both models)."""
+    from tpuzip.codecs import bin_apm as jbin
+    from tpuzip.kernels import bin_coder as kbin
+    from tpuzip.kernels import range_decoder as rdk
+
+    NB, lanes = kbin.CHUNK, 128
+    bits = np.zeros((NB, lanes), np.uint8)
+    lens = np.full(lanes, NB, np.int32)
+    for l in range(lanes):
+        p = [0.5, 0.05, 0.95][l % 3]
+        bits[:, l] = (np.asarray(rng.random(NB)) < p).astype(np.uint8)
+    lens[5] = 100  # ragged lane
+    bits[100:, 5] = 0
+    for use_apm in (True,):  # apm exercises the full model incl. p0/gate
+        # (the bin-only model is the apm path minus the gate; one model
+        # keeps this interpreter test inside the CI time budget)
+        streams, counts = kbin.bin_encode_streams(
+            jnp.array(bits.T), jnp.array(lens), use_apm=use_apm,
+            interpret=_interp(), with_counts=True)
+        nc = NB // kbin.CHUNK
+        cap = max(len(s) for s in streams) + 4
+        st = np.zeros((lanes, cap), np.uint8)
+        for l, s in enumerate(streams):
+            st[l, : len(s)] = np.frombuffer(s, np.uint8)
+        deltas = counts.reshape(nc, kbin.CHUNK, lanes).sum(1).T
+        w = kbin.bin_window_words(int(deltas.max()))
+        dt = jnp.array(deltas.T.astype(np.int32))
+        starts = 4 + jnp.cumsum(dt, axis=0) - dt
+        wins = rdk.build_windows(jnp.transpose(jnp.array(st)), starts, w)
+        cu = st[:, :4].astype(np.uint32)
+        code0 = jnp.array((cu[:, 0] << 24) | (cu[:, 1] << 16)
+                          | (cu[:, 2] << 8) | cu[:, 3])
+        out = np.asarray(kbin.bin_decode_lanes(
+            wins, code0, jnp.array(lens), w=w, use_apm=use_apm,
+            interpret=_interp()))
+        for l in (0, 1, 2, 5, 127):
+            nb = int(lens[l])
+            assert out[:nb, l].tolist() == bits[:nb, l].tolist(), \
+                (use_apm, l)

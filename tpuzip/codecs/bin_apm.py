@@ -53,7 +53,7 @@ def _bin_update(p0, bit, bits, rate):
 def encode_bits(bits_in: jnp.ndarray, length: jnp.ndarray,
                 model_bits: int = 12, rate: int = 5,
                 use_apm: bool = False, apm_rate: int = 5,
-                cap: int | None = None):
+                cap: int | None = None, with_counts: bool = False):
     """bits_in: (N,) u8 of 0/1. Bit-exact vs the oracle BinaryModel coder
     (and oracle ApmGate coder when use_apm)."""
     n = bits_in.shape[0]
@@ -105,9 +105,12 @@ def encode_bits(bits_in: jnp.ndarray, length: jnp.ndarray,
     tail = jnp.stack([(low >> (24 - 8 * k)).astype(jnp.uint8)
                       for k in range(4)])
     chunks = jnp.concatenate([b4, tail[None]], axis=0)
-    lens = jnp.concatenate([e4.sum(axis=1).astype(jnp.int32),
-                            jnp.array([4], jnp.int32)])
-    return pack_bytes_varlen(chunks, lens, cap)
+    counts = e4.sum(axis=1).astype(jnp.int32)
+    lens = jnp.concatenate([counts, jnp.array([4], jnp.int32)])
+    out, out_len = pack_bytes_varlen(chunks, lens, cap)
+    if with_counts:
+        return out, out_len, counts
+    return out, out_len
 
 
 def decode_bits(comp: jnp.ndarray, num_bits: jnp.ndarray, out_n: int,

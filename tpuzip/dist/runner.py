@@ -686,40 +686,114 @@ def _bin_encode_auto(blocks, lengths, model_bits: int, rate: int,
                      use_apm: bool):
     """Binary/APM byte coder: lane-parallel Pallas kernel on TPU (the
     lightest entropy kernel in the framework — no one-hot table scans),
-    vmapped XLA scan elsewhere.  Returns (comp (B, cap) np, clens np)."""
+    threaded C++ / vmapped XLA scan elsewhere.  Returns (comp (B, cap)
+    np, clens np, deltas (B, NC) i32) — deltas are the per-256-bit-chunk
+    consumed bytes feeding the lane decoder's window prepack (round 4:
+    the bin family joins ari's chunk-indexed fast-decode design).  All
+    three paths emit identical streams AND identical indexes."""
     from tpuzip.codecs import bin_apm as jbin
+    from tpuzip.kernels import bin_coder as kbin
 
     b, n = blocks.shape
     cap = jbin.encode_cap(8 * n)
+    nc = max((8 * n + kbin.CHUNK - 1) // kbin.CHUNK, 1)
     if jax.devices()[0].platform == "tpu":
-        from tpuzip.kernels import bin_coder as kbin
-
         from tpuzip.kernels.range_coder import lane_width
 
         bits = jbin.bytes_to_bits(jnp.asarray(blocks))
         comp_np = np.zeros((b, cap), np.uint8)
         clens = np.zeros(b, np.int64)
+        deltas = np.zeros((b, nc), np.int32)
         lens8 = jnp.asarray(lengths, jnp.int32) * 8
         width = lane_width(b)  # wide groups amortize per-step fixed cost
         for g in range(0, b, width):
             gb = min(width, b - g)
-            streams = kbin.bin_encode_streams(
+            streams, counts = kbin.bin_encode_streams(
                 bits[g : g + gb], lens8[g : g + gb],
-                use_apm=use_apm, model_bits=model_bits, rate=rate)
+                use_apm=use_apm, model_bits=model_bits, rate=rate,
+                with_counts=True)
             for k, s in enumerate(streams):
                 clens[g + k] = len(s)
                 comp_np[g + k, : len(s)] = np.frombuffer(s, np.uint8)
-        return comp_np, clens
+            npad = counts.shape[0]
+            deltas[g : g + gb] = counts.reshape(
+                npad // kbin.CHUNK, kbin.CHUNK, -1).sum(1).T[:gb, :nc]
+        return comp_np, clens, deltas
     if _native_ok():
         from tpuzip.runtime import native
 
-        return native.bin_encode_batch_native(
+        return native.bin_encode_indexed_batch(
             np.asarray(jax.device_get(blocks)),
             np.asarray(jax.device_get(lengths), np.int32),
             bits=model_bits, rate=rate, use_apm=use_apm)
-    comp, clens = jax.jit(jbin.encode_batch, static_argnums=(2, 3, 4))(
-        jnp.asarray(blocks), jnp.asarray(lengths), model_bits, rate, use_apm)
-    return np.asarray(comp), np.asarray(clens).astype(np.int64)
+    comp, clens, counts = jax.jit(jax.vmap(
+        lambda bb, ll: jbin.encode_bits(
+            jbin.bytes_to_bits(bb[None])[0], 8 * ll,
+            model_bits=model_bits, rate=rate, use_apm=use_apm,
+            with_counts=True)))(
+        jnp.asarray(blocks), jnp.asarray(lengths, jnp.int32))
+    counts = np.asarray(counts)
+    pad = (-counts.shape[1]) % kbin.CHUNK
+    if pad:
+        counts = np.pad(counts, ((0, 0), (0, pad)))
+    deltas = counts.reshape(b, -1, kbin.CHUNK).sum(2).astype(np.int32)
+    return (np.asarray(comp), np.asarray(clens).astype(np.int64),
+            deltas[:, :nc])
+
+
+def _bin_decode_indexed(scomp, sclens, deltas, olens, block_size: int,
+                        bits: int, rate: int, use_apm: bool):
+    """Chunk-indexed bin/apm decode through the lane decoder: window
+    prepack (threaded C++ when available, XLA otherwise) + the Pallas
+    kernel on TPU / its XLA reference replica elsewhere.  Returns a
+    (B, block_size) u8 jnp array."""
+    from tpuzip.codecs import bin_apm as jbin
+    from tpuzip.kernels import bin_coder as kbin
+    from tpuzip.kernels import range_decoder as rdk
+    from tpuzip.kernels.range_coder import lane_width
+
+    b = scomp.shape[0]
+    nc = deltas.shape[1]
+    nbits = (np.asarray(olens) * 8).astype(np.int32)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    width = lane_width(b)
+    outs = []
+    for g in range(0, b, width):
+        gb = min(width, b - g)
+        d2 = np.ascontiguousarray(deltas[g : g + gb])
+        w = kbin.bin_window_words(max(int(d2.max(initial=1)), 1))
+        st = np.ascontiguousarray(scomp[g : g + gb])
+        if _native_ok():
+            from tpuzip.runtime import native
+
+            wins = native.ari_build_windows(st, d2, w)
+            wlane = jnp.zeros((width, nc * w), jnp.uint32).at[:gb].set(
+                wins)
+            windows = jnp.transpose(wlane)
+        else:
+            compT = jnp.zeros((st.shape[1], width), jnp.uint8)
+            compT = compT.at[:, :gb].set(jnp.transpose(jnp.array(st)))
+            dT = jnp.zeros((nc, width), jnp.int32).at[:, :gb].set(
+                jnp.transpose(jnp.array(d2)))
+            starts = 4 + jnp.cumsum(dT, axis=0) - dT
+            windows = rdk.build_windows(compT, starts, w)
+        cu = st[:, :4].astype(np.uint32)
+        code0 = jnp.zeros(width, jnp.uint32).at[:gb].set(
+            jnp.array((cu[:, 0] << 24) | (cu[:, 1] << 16)
+                      | (cu[:, 2] << 8) | cu[:, 3]))
+        lens_g = jnp.zeros(width, jnp.int32).at[:gb].set(
+            jnp.array(nbits[g : g + gb]))
+        if on_tpu:
+            bits_tm = kbin.bin_decode_lanes(
+                windows, code0, lens_g, w=w, model_bits=bits, rate=rate,
+                use_apm=use_apm)
+        else:
+            bits_tm = kbin.bin_decode_reference(
+                windows, code0, lens_g, w=w, model_bits=bits, rate=rate,
+                use_apm=use_apm)
+        bits_bm = jnp.transpose(bits_tm[: 8 * block_size, :gb])
+        outs.append(jbin.bits_to_bytes(bits_bm))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _decode_batch(codec: str, comp, lens, out_n):
@@ -846,14 +920,28 @@ def compress(data: bytes, codec: str = "lz4", block_size: int | None = None,
     elif codec in ("bin", "apm"):
         # binary adaptive model / APM-SSE gate over byte blocks (MSB-first
         # bits), one model per block — the reference's bin.rs/apm.rs model
-        # pick wired to the same container
+        # pick wired to the same container.  Flag 2 (staged): each block's
+        # payload is [u32 idx_len][256-bit-chunk index][stream] so the
+        # Pallas lane decoder can decode straight into device memory
+        # (round 4 — the same fast-decode index design as ari; host C++
+        # and device kernels emit identical streams AND indexes)
+        from tpuzip.kernels import bin_coder as kbin
+        from tpuzip.kernels import range_decoder as rdk
+
         with metrics.phase("encode", bytes_in=len(data), blocks=B):
-            comp_np, clens_np = _bin_encode_auto(
+            comp_np, clens_np, deltas = _bin_encode_auto(
                 blocks, lengths, model_bits=inc, rate=thr,
                 use_apm=(codec == "apm"))
         with metrics.phase("assemble"):
-            payload = b"".join(
-                comp_np[i, : clens_np[i]].tobytes() for i in range(B))
+            parts = []
+            for i in range(B):
+                nci = (8 * int(lengths[i]) + kbin.CHUNK - 1) // kbin.CHUNK
+                idx = rdk.pack_chunk_index(deltas[i, :nci])
+                parts.append(struct.pack("<I", len(idx)) + idx
+                             + comp_np[i, : clens_np[i]].tobytes())
+            clens_np = np.array([len(p) for p in parts], np.int64)
+            payload = b"".join(parts)
+        flags |= 2
     elif codec == "lz4p" and _native_ok() \
             and not config.codec.lz4.device_encode:
         # threaded columnar-LZ host encoder (same greedy single-probe
@@ -1036,6 +1124,11 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         from tpuzip.codecs import bin_apm as jbin
 
         cap = jbin.encode_cap(8 * block_size)
+        if flags & 2:  # + [u32 idx_len][256-bit-chunk index] head
+            from tpuzip.kernels import bin_coder as kbin
+
+            cap += 4 + 3 * ((8 * block_size + kbin.CHUNK - 1)
+                            // kbin.CHUNK)
     else:
         cap = jlz4.encode_cap(block_size)
     if off + int(clens.sum()) != len(container):
@@ -1103,21 +1196,65 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         from tpuzip.codecs import bin_apm as jbin
 
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
-            if jax.devices()[0].platform != "tpu" and _native_ok():
+            use_apm = codec == "apm"
+            scomp, sclens, deltas = comp, clens, None
+            if flags & 2:
+                # strip the per-block [u32 idx_len][chunk index] head
+                from tpuzip.kernels import bin_coder as kbin
+                from tpuzip.kernels import range_decoder as rdk
+
+                nc_full = (8 * block_size + kbin.CHUNK - 1) // kbin.CHUNK
+                scomp = np.zeros((comp.shape[0],
+                                  jbin.encode_cap(8 * block_size)),
+                                 np.uint8)
+                sclens = np.zeros_like(clens)
+                deltas = np.zeros((comp.shape[0], nc_full), np.int32)
+                for i in range(B):
+                    if clens[i] == 0:
+                        continue
+                    ilen = int.from_bytes(comp[i, :4].tobytes(),
+                                          "little")
+                    if 4 + ilen > clens[i]:
+                        from tpuzip.runtime.errors import \
+                            CorruptStreamError
+
+                        raise CorruptStreamError(
+                            f"block {i}: bin chunk index overruns payload")
+                    nci = (8 * int(olens[i]) + kbin.CHUNK - 1) \
+                        // kbin.CHUNK
+                    deltas[i, :nci] = rdk.parse_chunk_index(
+                        comp[i, 4 : 4 + ilen].tobytes(), nci,
+                        max_delta=4 * kbin.CHUNK + 4)
+                    sclens[i] = clens[i] - 4 - ilen
+                    scomp[i, : sclens[i]] = comp[i, 4 + ilen : clens[i]]
+            if not to_device and _native_ok():
+                # host-output decode: threaded C++ coder on EVERY platform
+                # (the same migration rule as lz4/rle/bwt-inverse: the
+                # bytes land on the host anyway)
                 from tpuzip.runtime import native
 
                 out_np = native.bin_decode_batch_native(
-                    comp, clens.astype(np.int32),
+                    scomp, sclens.astype(np.int32),
                     olens.astype(np.int32), block_size, bits=inc,
-                    rate=thr, use_apm=(codec == "apm"))
+                    rate=thr, use_apm=use_apm)
                 out = out_np
+            elif deltas is not None:
+                # to_device serving (or no native lib): the chunk-indexed
+                # lane decoder — Pallas kernel on TPU, its XLA reference
+                # replica elsewhere (identical step math)
+                out = _bin_decode_indexed(scomp, sclens, deltas, olens,
+                                          block_size, inc, thr, use_apm)
+                # to_device serving keeps the result chip-resident; the
+                # host path downloads once for the verify/join tail
+                out_np = None if to_device else np.asarray(out)
             else:
+                # foreign/old container without the index: XLA bit scan
                 out = jax.jit(jbin.decode_batch,
                               static_argnums=(2, 3, 4, 5))(
-                    _jc.get(),
+                    jnp.array(scomp),
                     jax.device_put(jnp.array(olens.astype(np.int32)),
                                    lsharding),
-                    block_size, inc, thr, codec == "apm")
+                    block_size, inc, thr, use_apm)
                 out_np = np.asarray(out)
         errs = np.zeros(B)
     elif codec == "deflate":

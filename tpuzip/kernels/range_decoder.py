@@ -125,7 +125,11 @@ def pack_chunk_index(deltas: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def parse_chunk_index(blob: bytes, nc: int) -> np.ndarray:
+def parse_chunk_index(blob: bytes, nc: int,
+                      max_delta: int | None = None) -> np.ndarray:
+    if max_delta is None:
+        # a chunk can consume at most 4 bytes/symbol + the 4 finish bytes
+        max_delta = 4 * CHUNK_STEPS + 4
     if len(blob) == nc and (nc == 0 or b"\xff" not in blob):
         return np.frombuffer(blob, np.uint8).astype(np.int32)
     deltas = np.zeros(nc, np.int32)
@@ -140,11 +144,10 @@ def parse_chunk_index(blob: bytes, nc: int) -> np.ndarray:
                 raise ValueError("chunk index truncated")
             d = blob[i] | (blob[i + 1] << 8)
             i += 2
-            # a chunk can consume at most 4 bytes/symbol + the 4 finish
-            # bytes; anything larger is corruption (and would overflow the
-            # decode window buckets)
-            if d > 4 * CHUNK_STEPS + 4:
-                raise ValueError(f"chunk delta {d} exceeds 4*CHUNK_STEPS+4")
+            # anything past the codec's per-chunk bound is corruption (and
+            # would overflow the decode window buckets)
+            if d > max_delta:
+                raise ValueError(f"chunk delta {d} exceeds {max_delta}")
         deltas[k] = d
     if i != len(blob):
         raise ValueError("chunk index has trailing bytes")

@@ -128,6 +128,11 @@ def get_lib():
     lib.tpz_bin_encode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
                                          i64p, c_int, c_int, c_int, c_int,
                                          c_int]
+    lib.tpz_bin_encode_indexed_batch.restype = None
+    lib.tpz_bin_encode_indexed_batch.argtypes = [u8p, i64, i64, i32p, u8p,
+                                                 i64, i64p, i32p, i64,
+                                                 c_int, c_int, c_int,
+                                                 c_int, c_int]
     lib.tpz_bin_decode_batch.restype = None
     lib.tpz_bin_decode_batch.argtypes = [u8p, i64, i64, i32p, u8p, i64,
                                          i32p, c_int, c_int, c_int, c_int,
@@ -660,6 +665,30 @@ def bin_encode_batch_native(blocks: np.ndarray, lengths: np.ndarray,
     if (out < 0).any():
         raise ValueError("bin_encode_batch failed")
     return dst, out
+
+
+def bin_encode_indexed_batch(blocks: np.ndarray, lengths: np.ndarray,
+                             bits: int = 12, rate: int = 5,
+                             use_apm: bool = False, apm_rate: int = 5,
+                             nthreads: int = 0):
+    """bin_encode_batch + the per-256-bit-chunk consumed-byte index the
+    Pallas lane decoder needs.  Returns (comp, clens, deltas (B, NC))."""
+    lib = get_lib()
+    blocks = _contig(blocks, np.uint8)
+    b, cap = blocks.shape
+    lens = _contig(lengths, np.int32)
+    dcap = 4 * cap + 64
+    nc = max((8 * cap + 255) // 256, 1)
+    dst = np.zeros((b, dcap), np.uint8)
+    out = np.zeros(b, np.int64)
+    deltas = np.zeros((b, nc), np.int32)
+    lib.tpz_bin_encode_indexed_batch(
+        _u8(blocks), b, cap, _i32(lens), _u8(dst), dcap, _i64(out),
+        _i32(deltas), nc, bits, rate, 1 if use_apm else 0, apm_rate,
+        nthreads)
+    if (out < 0).any():
+        raise ValueError("bin_encode_indexed_batch failed")
+    return dst, out, deltas
 
 
 def bin_decode_batch_native(comp: np.ndarray, clens: np.ndarray,
