@@ -55,8 +55,6 @@ LZ4_SERVE_DIRECT_FRAC = 0.5
 def _lz4_serve_direct(comp, clens, olens, block_size: int) -> bool:
     """Probe up to 32 blocks' wplan8 patch density (the parse is ~1.3
     GB/s — the probe costs ~1/8 of one slice parse)."""
-    import numpy as np
-
     from tpuzip.runtime import native
 
     probe_n = min(comp.shape[0], 32)
@@ -1215,9 +1213,6 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                     ilen = int.from_bytes(comp[i, :4].tobytes(),
                                           "little")
                     if 4 + ilen > clens[i]:
-                        from tpuzip.runtime.errors import \
-                            CorruptStreamError
-
                         raise CorruptStreamError(
                             f"block {i}: bin chunk index overruns payload")
                     nci = (8 * int(olens[i]) + kbin.CHUNK - 1) \
