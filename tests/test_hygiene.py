@@ -101,13 +101,22 @@ def _block_map(fn):
 
     def visit(node, chain):
         out[id(node)] = chain
-        sub = chain
-        if isinstance(node, (ast.If, ast.For, ast.While,
-                             ast.With, ast.FunctionDef,
-                             ast.AsyncFunctionDef)) and node is not fn:
-            sub = chain + (id(node),)
-        for child in ast.iter_child_nodes(node):
-            visit(child, sub)
+        compound = (isinstance(node, (ast.If, ast.For, ast.While,
+                                      ast.With, ast.FunctionDef,
+                                      ast.AsyncFunctionDef))
+                    and node is not fn)
+        # Each statement-list FIELD gets its own chain element so an If's
+        # body and orelse are distinct blocks: an import in one arm does
+        # not dominate a read in the sibling arm (round-4 advisor fix —
+        # the old per-NODE chain merged the arms, a false negative).
+        for field, value in ast.iter_fields(node):
+            sub = chain + ((id(node), field),) if compound else chain
+            if isinstance(value, ast.AST):
+                visit(value, sub)
+            elif isinstance(value, list):
+                for item in value:
+                    if isinstance(item, ast.AST):
+                        visit(item, sub)
 
     visit(fn, ())
     return out

@@ -1298,15 +1298,10 @@ def decompress(container: bytes, mesh: Mesh | None = None,
         out_np = np.asarray(out)
         errs = np.asarray(errs)
     else:
-        planned = rle_native = False
-        if codec in ("lz4", "rle"):
-            try:
-                from tpuzip.runtime import native
+        from tpuzip.runtime import native
 
-                planned = native.available() and codec == "lz4"
-                rle_native = native.available() and codec == "rle"
-            except Exception:
-                planned = rle_native = False
+        planned = _native_ok() and codec == "lz4"
+        rle_native = _native_ok() and codec == "rle"
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             if rle_native:
                 # threaded host decode (byte loops are the host's home
@@ -1317,8 +1312,6 @@ def decompress(container: bytes, mesh: Mesh | None = None,
                 olens_dev = np.where(st > 0, st, 0)
                 out = out_np
             elif codec == "lz4p" and not to_device and _native_ok():
-                from tpuzip.runtime import native
-
                 out_np, st = native.lz4p_decode_batch_native(
                     comp, clens.astype(np.int32), block_size)
                 errs = (st < 0).astype(np.int32)
