@@ -71,6 +71,32 @@ def _div_u32_by_small(num: jnp.ndarray, den: jnp.ndarray):
     return q, rem
 
 
+def _div_u32_f32x2(num, den):
+    """(q, rem) = divmod(num, den), den in [1, 2^15): the decode-side
+    two-stage f32 reciprocal divider (range_decoder.u32_div_exact,
+    duplicated here to keep the modules import-acyclic).  Round-5 A/B
+    candidate for the encoder's schoolbook divider."""
+    hi = (num >> 16).astype(jnp.int32).astype(jnp.float32)
+    lo = (num & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    num_f = hi * 65536.0 + lo
+    den_f = den.astype(jnp.int32).astype(jnp.float32)
+    q = jnp.floor(num_f / den_f).astype(jnp.int32)
+    rem_s = jax.lax.bitcast_convert_type(
+        num - q.astype(jnp.uint32) * den, jnp.int32)
+    corr = jnp.floor(rem_s.astype(jnp.float32) / den_f).astype(jnp.int32)
+    q = (q + corr).astype(jnp.uint32)
+    rem = num - q * den
+    for _ in range(2):
+        wrapped = rem >= jnp.uint32(1 << 31)
+        q = jnp.where(wrapped, q - 1, q)
+        rem = jnp.where(wrapped, rem + den, rem)
+    for _ in range(2):
+        over = rem >= den
+        q = jnp.where(over, q + 1, q)
+        rem = jnp.where(over, rem - den, rem)
+    return q, rem
+
+
 def _shift_down_rows(x, k):
     """Rows shifted down by k (zeros shifted in) via static slice+concat —
     no dynamic ops, Mosaic-safe."""
@@ -117,7 +143,8 @@ def _enc_halving_gated(cum, tot, active, threshold: int):
 
 def _ari_encode_kernel(x_ref, len_ref, out_ref, cnt_ref, state_ref,
                        low_r, rng_r, cum_r, total, *,
-                       increment: int, threshold: int):
+                       increment: int, threshold: int,
+                       div_algo: str = "school"):
     """Round-4 structural rework (VERDICT r3 task 3): the model state is
     the INCLUSIVE cumulative table with two adjacent u16 entries packed
     per i32 row (128 rows, max value total<<16 < 2^31) — one masked
@@ -166,7 +193,9 @@ def _ari_encode_kernel(x_ref, len_ref, out_ref, cnt_ref, state_ref,
             cum_lo = a_incl.astype(jnp.uint32)
             f = (b_incl - a_incl).astype(jnp.uint32)
             tot_u = tot.astype(jnp.uint32)
-            r, _rem = _div_u32_by_small(rng, tot_u)
+            r, _rem = (_div_u32_by_small(rng, tot_u)
+                       if div_algo == "school"
+                       else _div_u32_f32x2(rng, tot_u))
             low2 = low + r * cum_lo
             rng2 = r * f
             row_bytes = []
@@ -211,10 +240,11 @@ def _ari_encode_kernel(x_ref, len_ref, out_ref, cnt_ref, state_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("increment", "threshold", "interpret"))
+                   static_argnames=("increment", "threshold", "interpret",
+                                    "div_algo"))
 def ari_encode_lanes(x: jnp.ndarray, lens: jnp.ndarray,
                      increment: int = 8, threshold: int = 1 << 13,
-                     interpret: bool = False):
+                     interpret: bool = False, div_algo: str = "school"):
     """x: (N, 128) u8 time-major; lens: (128,) i32.
     Returns (bytes (N*4, 128) u8, counts (N, 128) u8, final_low (2,128) u32).
     Stream for lane l = concat over steps of bytes[4t : 4t+counts[t,l], l]
@@ -229,7 +259,7 @@ def ari_encode_lanes(x: jnp.ndarray, lens: jnp.ndarray,
     grid = n // CHUNK
     return pl.pallas_call(
         functools.partial(_ari_encode_kernel, increment=increment,
-                          threshold=threshold),
+                          threshold=threshold, div_algo=div_algo),
         out_shape=(
             jax.ShapeDtypeStruct((n * 4, lanes), jnp.uint8),
             jax.ShapeDtypeStruct((n, lanes), jnp.uint8),
