@@ -20,6 +20,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The interpret-mode kernel tests pay minutes of XLA:CPU compile per run;
+# the persistent cache (shared with bench.py) makes reruns warm.  Keyed by
+# platform+flags, so CPU test entries never collide with the TPU entries.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np
 import pytest
