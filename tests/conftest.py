@@ -20,13 +20,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# The interpret-mode kernel tests pay minutes of XLA:CPU compile per run;
-# the persistent cache (shared with bench.py) makes reruns warm.  Keyed by
-# platform+flags, so CPU test entries never collide with the TPU entries.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# (Measured round 5: the persistent compile cache does NOT shorten this
+# suite — the InterpretParams kernel computations bypass it (identical
+# 11-min test_kernels.py reruns with the cache configured), and the other
+# tests' compiles are all short.  So no cache config here.)
 
 import numpy as np
 import pytest
