@@ -62,10 +62,28 @@ _LAST_CHIP = {
 }
 
 
+_EMIT_LOCK = threading.Lock()
+
+
 def _emit() -> None:
-    if not _EMITTED.is_set():
+    with _EMIT_LOCK:
+        if _EMITTED.is_set():
+            return
         _EMITTED.set()
-        print(json.dumps(_RECORD), flush=True)
+        for _ in range(8):  # main thread may be inserting keys concurrently
+            try:
+                line = json.dumps(_RECORD)
+                break
+            except RuntimeError:
+                time.sleep(0.05)
+        else:
+            line = json.dumps({"metric": _RECORD["metric"],
+                               "value": _RECORD["value"],
+                               "unit": _RECORD["unit"],
+                               "vs_baseline": _RECORD["vs_baseline"],
+                               "detail": {"error": "record mutated during "
+                                                   "emit; partial dropped"}})
+        print(line, flush=True)
 
 
 def _watchdog() -> None:
@@ -180,6 +198,8 @@ def main() -> None:
         # the lane kernels need the chip; emit an honest record instead of
         # crashing when the dev tunnel is down (it died mid-round 2 and
         # stayed dead through round 3)
+        detail["progress"] = "host-stages"   # past jax-init: the init
+        # watchdog must not misdiagnose the (CPU-heavy) fallback stages
         host = {}
         try:
             # measure the threaded-C++ production stages so the record
@@ -223,17 +243,8 @@ def main() -> None:
             "host_production_stages": host,
             "scale_rehearsal": "bench/scale_r3.json (1 GiB per codec + "
                                "kill/resume)",
-            "last_real_chip_run": {
-                "when": "2026-08-20 (round 4/5 captures)",
-                "value_GBps_chip": 0.3695,
-                "vs_baseline": 6.1,
-                "ari": {"encode_MBps": 450.8, "decode_MBps": 339.3},
-                "mtf_kernel_MBps": 988.3,
-                "lz4": {"encode_MBps": 921.5,
-                        "decode_host_output_MBps": 3492.3,
-                        "decode_serving_MBps": 303.9},
-                "bwt": {"forward_MBps": 111.3, "inverse_MBps": 373.0},
-                "log": "bench/RESULTS.md"}}
+            "last_real_chip_run": {**_LAST_CHIP,
+                                   "log": "bench/RESULTS.md"}}
         _emit()
         return
 
@@ -268,14 +279,20 @@ def main() -> None:
     # from the container (host bytes), so production never pays this
     d2 = np.empty(deltas.shape[::-1], np.int32)
     d2[:] = jax.device_get(deltas).T
-    st_full = jax.device_get(streams)
-    st2 = np.empty((BW, cap), np.uint8)
-    st2[:] = st_full[:, :cap]
-    del st_full
-    # correctness gate: streams bit-exact vs the oracle, decode restores
-    assert st2[0, : slens_np[0]].tobytes() == oari.encode_bytes(
-        blocks[0].tobytes())
+    # correctness gate: lane-0 stream bit-exact vs the oracle (download
+    # ONLY the ~36 KB that lane actually produced: device_get of the full
+    # (1024, cap) padded stream buffer is ~134 MB, which took the whole
+    # watchdog budget when the tunnel download rate collapsed to ~1 MB/s)
+    lane0 = np.asarray(
+        jax.device_get(streams[0, : int(slens_np[0])]), np.uint8)
+    assert lane0.tobytes() == oari.encode_bytes(blocks[0].tobytes())
     w = rd.window_words(int(d2.max()))
+    # host window-build timing input: the C++ build's cost is byte-content
+    # independent (window memcpys driven by the deltas alone), so a
+    # synthetic zero buffer with the REAL deltas times the production
+    # stage without downloading the streams
+    capn = int(d2.sum(axis=1).max()) + 4 * w + 8
+    st2 = np.zeros((BW, capn), np.uint8)
     # kernel input windows built ON DEVICE from the already-resident
     # streams (the XLA build_windows formulation): uploading host-built
     # windows cost ~64-96 MiB through the 2 MB/s tunnel — the kernel
@@ -289,7 +306,15 @@ def main() -> None:
     if native.available():
         # production decode prepack: threaded C++ window build (the XLA
         # take_along_axis formulation caps at ~190 MB/s — element-gather
-        # bound — while the kernel runs 280; see docs/DESIGN.md note 11)
+        # bound — while the kernel runs 280; see docs/DESIGN.md note 11).
+        # Byte-level cross-check vs the device build on 8 real lanes
+        # (~0.6 MB of downloads) — the timing buffer itself is synthetic
+        st8 = np.zeros((8, capn), np.uint8)
+        real8 = np.asarray(jax.device_get(streams[:8, :capn]), np.uint8)
+        st8[:, :] = real8
+        wins8 = native.ari_build_windows(st8, d2[:8], w)
+        dev8 = np.asarray(jax.device_get(wlane_T[:, :8])).T
+        assert wins8.reshape(8, -1).tobytes() ==             np.ascontiguousarray(dev8).tobytes(),             "C++ window build != device build"
         native.ari_build_windows(st2, d2, w)
         ari_dec_host = BW * N / timed_host(
             lambda: native.ari_build_windows(st2, d2, w))
@@ -320,12 +345,15 @@ def main() -> None:
     else:
         ari_dec = ari_dec_serial
     # correctness: full kernel decode (same compiled pallas_call as the
-    # timed path), 128 distinct lanes downloaded and compared
-    outh = np.asarray(rd.ari_decode_lanes(
-        wlane_T, code0, jl, w=w)[:N, :128])
+    # timed path); all 128 distinct lanes compared plus a tile-region
+    # lane >= 128 (grid/lane-indexing coverage for the widened groups)
+    dec_full = rd.ari_decode_lanes(wlane_T, code0, jl, w=w)
+    outh = np.asarray(dec_full[:N, :128])
     assert outh[:, 0].tobytes() == blocks[0].tobytes()
     assert outh[:, 77].tobytes() == blocks[77].tobytes()
     assert outh[:, 127].tobytes() == blocks[127].tobytes()
+    hi = BW - 51
+    assert np.asarray(dec_full[:N, hi]).tobytes() ==         blocks[hi % B].tobytes()
 
     ari_combined = 2.0 / (1.0 / ari_enc + 1.0 / ari_dec)
     _RECORD["value"] = round(ari_combined / 1e9, 4)

@@ -1300,8 +1300,8 @@ def decompress(container: bytes, mesh: Mesh | None = None,
     else:
         from tpuzip.runtime import native
 
-        planned = _native_ok() and codec == "lz4"
-        rle_native = _native_ok() and codec == "rle"
+        planned = codec == "lz4" and _native_ok()
+        rle_native = codec == "rle" and _native_ok()
         with metrics.phase("decode", bytes_out=orig_len, blocks=B):
             if rle_native:
                 # threaded host decode (byte loops are the host's home

@@ -72,29 +72,13 @@ def _div_u32_by_small(num: jnp.ndarray, den: jnp.ndarray):
 
 
 def _div_u32_f32x2(num, den):
-    """(q, rem) = divmod(num, den), den in [1, 2^15): the decode-side
-    two-stage f32 reciprocal divider (range_decoder.u32_div_exact,
-    duplicated here to keep the modules import-acyclic).  Round-5 A/B
-    candidate for the encoder's schoolbook divider."""
-    hi = (num >> 16).astype(jnp.int32).astype(jnp.float32)
-    lo = (num & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-    num_f = hi * 65536.0 + lo
-    den_f = den.astype(jnp.int32).astype(jnp.float32)
-    q = jnp.floor(num_f / den_f).astype(jnp.int32)
-    rem_s = jax.lax.bitcast_convert_type(
-        num - q.astype(jnp.uint32) * den, jnp.int32)
-    corr = jnp.floor(rem_s.astype(jnp.float32) / den_f).astype(jnp.int32)
-    q = (q + corr).astype(jnp.uint32)
-    rem = num - q * den
-    for _ in range(2):
-        wrapped = rem >= jnp.uint32(1 << 31)
-        q = jnp.where(wrapped, q - 1, q)
-        rem = jnp.where(wrapped, rem + den, rem)
-    for _ in range(2):
-        over = rem >= den
-        q = jnp.where(over, q + 1, q)
-        rem = jnp.where(over, rem - den, rem)
-    return q, rem
+    """The decode-side two-stage f32 reciprocal divider, for the round-5
+    encoder divider A/B (bench/ari_div_ab_r5.py — measured NEGATIVE, the
+    schoolbook divide stays production).  Lazy import keeps the modules
+    acyclic — the same idiom range_decoder uses in the other direction."""
+    from tpuzip.kernels.range_decoder import u32_div_exact
+
+    return u32_div_exact(num, den)
 
 
 def _shift_down_rows(x, k):
