@@ -263,68 +263,103 @@ def main() -> None:
     x = jnp.tile(jnp.array(np.ascontiguousarray(blocks.T)), (1, BW // B))
     jl = jnp.full(BW, N, jnp.int32)
 
-    enc_sync = jax.jit(lambda a, b_: jnp.sum(
-        rc.ari_encode_lanes_packed_indexed(a, b_)[1]))
-    int(enc_sync(x, jl))
-    enc_s = timed(lambda: int(enc_sync(x, jl)))
-    ari_enc = BW * N / enc_s
+    # Sync via EAGER sums over the jitted calls' outputs: wrapping a call
+    # in a second sum-jit (a) creates a second executable containing the
+    # same Mosaic kernel, which axon ships over the (sometimes ~0.15 MB/s)
+    # upload link, and (b) lets XLA DCE everything the sum does not need —
+    # the pre-round-5 encode timing silently excluded the on-device stream
+    # compaction that way (DESIGN note 27).  An eager call materializes
+    # every output of the jitted function; nothing can be DCE'd.
+    #
+    # encode_MBps (headline basis): the lane kernel with its raw
+    # (4N, L) bytes + counts outputs materialized — the container path's
+    # device cost (the host repacks raw->compact during its C++ stages,
+    # overlapped like the decode window build).
+    enc_kernel = lambda: int(jnp.sum(
+        rc.ari_encode_lanes(x, jl)[1][:8, :8].astype(jnp.int32)))
+    enc_kernel()
+    ari_enc = BW * N / timed(enc_kernel)
+    # encode_device_compacted_MBps: + the on-device compaction scatter
+    # (compress_from_device basis — what a device-resident consumer pays
+    # today; scatter-bound, see DESIGN note 27)
+    enc_packed = lambda: int(jnp.sum(
+        rc.ari_encode_lanes_packed_indexed(x, jl)[1]))
+    enc_packed()
+    ari_enc_packed = BW * N / timed(enc_packed)
 
     detail["progress"] = "ari-decode-prep"
     streams, slens, deltas = rc.ari_encode_lanes_packed_indexed(x, jl)
     slens_np = np.asarray(slens)
     cap = jari.encode_cap(N)
-    # dense host-owned copies via device_get: numpy views of axon-backed
-    # jax buffers fault pages through the tunnel on every deep read, so
-    # they must not reach the prepack timing — in the runner, streams come
-    # from the container (host bytes), so production never pays this
-    d2 = np.empty(deltas.shape[::-1], np.int32)
-    d2[:] = jax.device_get(deltas).T
-    # correctness gate: lane-0 stream bit-exact vs the oracle (download
-    # ONLY the ~36 KB that lane actually produced: device_get of the full
-    # (1024, cap) padded stream buffer is ~134 MB, which took the whole
-    # watchdog budget when the tunnel download rate collapsed to ~1 MB/s)
-    lane0 = np.asarray(
-        jax.device_get(streams[0, : int(slens_np[0])]), np.uint8)
-    assert lane0.tobytes() == oari.encode_bytes(blocks[0].tobytes())
-    w = rd.window_words(int(d2.max()))
-    # host window-build timing input: the C++ build's cost is byte-content
-    # independent (window memcpys driven by the deltas alone), so a
-    # synthetic zero buffer with the REAL deltas times the production
-    # stage without downloading the streams
-    capn = int(d2.sum(axis=1).max()) + 4 * w + 8
-    st2 = np.zeros((BW, capn), np.uint8)
-    # kernel input windows built ON DEVICE from the already-resident
-    # streams (the XLA build_windows formulation): uploading host-built
-    # windows cost ~64-96 MiB through the 2 MB/s tunnel — the kernel
-    # timing is identical either way, and the PRODUCTION host stage
-    # (threaded C++ ari_build_windows) is timed separately below
+    # Device-only decode-kernel timing FIRST — everything the headline
+    # needs stays off the tunnel (the round-5 slow-phase lesson: the
+    # tunnel's transfer rate intermittently collapses ~20x, so bulk
+    # copies must come after the headline is already in the record).
+    # Kernel input windows are built ON DEVICE from the resident streams
+    # (uploading host-built windows cost ~64-96 MiB at 2 MB/s); the
+    # PRODUCTION host stage (threaded C++ ari_build_windows) is timed
+    # separately below.  w comes from a device scalar, not a bulk pull.
+    w = rd.window_words(int(jnp.max(deltas)))
     comp_d = jnp.transpose(streams[:, :cap])            # (cap, BW) u8
     starts = 4 + jnp.cumsum(deltas, axis=0) - deltas    # (nc, BW)
     wlane_T = rd.build_windows(comp_d, starts, w)       # (nc*w, BW) u32
     cu = comp_d[:4].astype(jnp.uint32)
     code0 = (cu[0] << 24) | (cu[1] << 16) | (cu[2] << 8) | cu[3]
+    dec_all = lambda: int(jnp.sum(rd.ari_decode_lanes(
+        wlane_T, code0, jl, w=w)[:8, :8].astype(jnp.int32)))
+    dec_all()
+    dec_s = timed(dec_all)
+    ari_dec_dev = BW * N / dec_s
+    # preliminary headline: kernel-only decode (the pipelined overlap
+    # measured below lands within ~3% of the kernel rate — the host
+    # window build hides behind it); self-describing if the watchdog
+    # fires during the host-side stages
+    _RECORD["value"] = round(
+        2.0 / (1.0 / ari_enc + 1.0 / ari_dec_dev) / 1e9, 4)
+    detail["ari"] = {
+        "encode_MBps": round(ari_enc / 1e6, 1),
+        "decode_MBps": round(ari_dec_dev / 1e6, 1),
+        "decode_basis": "device-kernel-only (host overlap pending)",
+        "lanes": BW}
+    detail["progress"] = "ari-host-stages"
+
+    # ---- host-side copies + production host stage + correctness gates
+    # (numpy views of axon-backed jax buffers fault pages through the
+    # tunnel on every deep read, so dense host copies via device_get
+    # only — in the runner, streams come from the container, so
+    # production never pays any of this)
+    d2 = np.empty(deltas.shape[::-1], np.int32)
+    d2[:] = jax.device_get(deltas).T
+    # correctness gate: lane-0 stream bit-exact vs the oracle (download
+    # ONLY the ~36 KB that lane actually produced — the full padded
+    # stream buffer is ~134 MB)
+    lane0 = np.asarray(
+        jax.device_get(streams[0, : int(slens_np[0])]), np.uint8)
+    assert lane0.tobytes() == oari.encode_bytes(blocks[0].tobytes())
+    # host window-build timing input: the C++ build's cost is
+    # byte-content independent (window memcpys driven by the deltas
+    # alone), so a synthetic zero buffer with the REAL deltas times the
+    # production stage without downloading the streams
+    capn = int(d2.sum(axis=1).max()) + 4 * w + 8
+    st2 = np.zeros((BW, capn), np.uint8)
     if native.available():
         # production decode prepack: threaded C++ window build (the XLA
         # take_along_axis formulation caps at ~190 MB/s — element-gather
-        # bound — while the kernel runs 280; see docs/DESIGN.md note 11).
-        # Byte-level cross-check vs the device build on 8 real lanes
-        # (~0.6 MB of downloads) — the timing buffer itself is synthetic
+        # bound; see docs/DESIGN.md note 11).  Byte-level cross-check vs
+        # the device build on 8 real lanes (~0.6 MB of downloads)
         st8 = np.zeros((8, capn), np.uint8)
-        real8 = np.asarray(jax.device_get(streams[:8, :capn]), np.uint8)
-        st8[:, :] = real8
+        st8[:, :] = np.asarray(
+            jax.device_get(streams[:8, :capn]), np.uint8)
         wins8 = native.ari_build_windows(st8, d2[:8], w)
         dev8 = np.asarray(jax.device_get(wlane_T[:, :8])).T
-        assert wins8.reshape(8, -1).tobytes() ==             np.ascontiguousarray(dev8).tobytes(),             "C++ window build != device build"
+        assert wins8.reshape(8, -1).tobytes() == \
+            np.ascontiguousarray(dev8).tobytes(), \
+            "C++ window build != device build"
         native.ari_build_windows(st2, d2, w)
         ari_dec_host = BW * N / timed_host(
             lambda: native.ari_build_windows(st2, d2, w))
     else:
         ari_dec_host = float("inf")
-    dec_all = jax.jit(lambda wl, c0, l: jnp.sum(rd.ari_decode_lanes(
-        wl, c0, l, w=w)[:8, :8].astype(jnp.int32)))
-    int(dec_all(wlane_T, code0, jl))
-    dec_s = timed(lambda: int(dec_all(wlane_T, code0, jl)))
-    ari_dec_dev = BW * N / dec_s
     ari_dec_serial = 1.0 / (1.0 / ari_dec_host + 1.0 / ari_dec_dev)
     # production serving rate: decompress_corpus runs superbatches through
     # a pipeline-deep pool, so one superbatch's C++ window build (releases
@@ -337,7 +372,7 @@ def main() -> None:
 
         def _pipe_once():
             fut = _pex.submit(native.ari_build_windows, st2, d2, w)
-            int(dec_all(wlane_T, code0, jl))
+            dec_all()
             fut.result()
 
         ari_dec = BW * N / timed_host(_pipe_once, iters=5)
@@ -353,12 +388,20 @@ def main() -> None:
     assert outh[:, 77].tobytes() == blocks[77].tobytes()
     assert outh[:, 127].tobytes() == blocks[127].tobytes()
     hi = BW - 51
-    assert np.asarray(dec_full[:N, hi]).tobytes() ==         blocks[hi % B].tobytes()
+    assert np.asarray(dec_full[:N, hi]).tobytes() == \
+        blocks[hi % B].tobytes()
 
     ari_combined = 2.0 / (1.0 / ari_enc + 1.0 / ari_dec)
     _RECORD["value"] = round(ari_combined / 1e9, 4)
     detail["ari"] = {"encode_MBps": round(ari_enc / 1e6, 1),
+                     "encode_basis": "lane kernel incl. raw outputs; "
+                                     "host repack rides the overlapped "
+                                     "C++ stages (container path)",
+                     "encode_device_compacted_MBps": round(
+                         ari_enc_packed / 1e6, 1),
                      "decode_MBps": round(ari_dec / 1e6, 1),
+                     "decode_basis": "pipelined-overlap (production "
+                                     "corpus-API behavior)",
                      "decode_serial_MBps": round(ari_dec_serial / 1e6, 1),
                      "decode_host_windows_MBps": round(ari_dec_host / 1e6,
                                                        1),
@@ -383,11 +426,10 @@ def main() -> None:
 
     detail["progress"] = "mtf"
     # ---------------------------------------------------- MTF kernel
-    mtf_f = jax.jit(lambda a: jnp.sum(mtf_scan.mtf_lanes(a),
-                                      dtype=jnp.int32))
-    int(mtf_f(x))
-    detail["mtf_kernel_MBps"] = round(BW * N / timed(
-        lambda: int(mtf_f(x))) / 1e6, 1)
+    mtf_f = lambda: int(jnp.sum(mtf_scan.mtf_lanes(x),
+                                dtype=jnp.int32))
+    mtf_f()
+    detail["mtf_kernel_MBps"] = round(BW * N / timed(mtf_f) / 1e6, 1)
 
     # ---------------------------------------------------- LZ4
     # production path (runner defaults): threaded C++ host encode +
@@ -401,10 +443,9 @@ def main() -> None:
     lz_enc_dev = 0.0
     jb32 = jnp.transpose(x[:, :32])        # device-derived, no upload
     jl32 = jnp.full(32, N, jnp.int32)
-    lz_enc_sync = jax.jit(lambda b_, l: jnp.sum(
-        jlz4.encode_batch(b_, l)[1]))
-    int(lz_enc_sync(jb32, jl32))
-    lz_enc_dev = 32 * N / timed(lambda: int(lz_enc_sync(jb32, jl32)))
+    lz_enc_sync = lambda: int(jnp.sum(jlz4.encode_batch(jb32, jl32)[1]))
+    lz_enc_sync()
+    lz_enc_dev = 32 * N / timed(lz_enc_sync)
     lz_enc = lz_dec_host = lz_dec_dev = lz_dec_full_host = 0.0
     ratio = 0.0
     if native.available():
@@ -445,11 +486,11 @@ def main() -> None:
         jpat = jnp.tile(jnp.array(patches[: Bl // 2]), (2, 1))
         jwp = jnp.tile(jnp.array(wplans[: Bl // 2]), (2, 1))
         jolens = jnp.full(Bl, N, jnp.int32)
-        g_sync = jax.jit(lambda c, p, w, o: jnp.sum(
-            jlz4._gather_wplan8(c, p, w, o)[:4, :4].astype(jnp.int32)))
-        int(g_sync(jcomp, jpat, jwp, jolens))
-        lz_dec_dev = Bl * N / timed(lambda: int(g_sync(jcomp, jpat, jwp,
-                                                       jolens)))
+        g_sync = lambda: int(jnp.sum(
+            jlz4._gather_wplan8(jcomp, jpat, jwp, jolens)[:4, :4]
+            .astype(jnp.int32)))
+        g_sync()
+        lz_dec_dev = Bl * N / timed(g_sync)
         outp = np.asarray(jlz4._gather_wplan8(jcomp, jpat, jwp, jolens))
         assert outp[0].tobytes() == lz_blocks[0].tobytes()
         assert outp[Bl - 1].tobytes() == lz_blocks[Bl - 1].tobytes()
@@ -489,21 +530,21 @@ def main() -> None:
 
     # ---------------------------------------------------- BWT batch
     detail["progress"] = "bwt"
-    bwt_enc_sync = jax.jit(lambda b_, l: jnp.sum(
-        jbwt._encode_batch_fast(b_, l, True)[0][:4, :4].astype(jnp.int32)))
     jb = jnp.transpose(x[:, :B])           # device-derived, no upload
     jl128 = jnp.full(B, N, jnp.int32)
-    int(bwt_enc_sync(jb, jl128))
-    bwt_enc = B * N / timed(lambda: int(bwt_enc_sync(jb, jl128)))
-    L, orgs = jbwt.encode_batch_fast(jb, jl128)
-    bwt_dec_f = jax.jit(lambda L_, o, l: jnp.sum(
-        jbwt.decode_batch_fast(L_, o, l, walkers_log2=0)[:4, :4]
+    bwt_enc_sync = lambda: int(jnp.sum(
+        jbwt._encode_batch_fast(jb, jl128, True)[0][:4, :4]
         .astype(jnp.int32)))
-    int(bwt_dec_f(L, orgs, jl128))
+    bwt_enc_sync()
+    bwt_enc = B * N / timed(bwt_enc_sync)
+    L, orgs = jbwt.encode_batch_fast(jb, jl128)
+    bwt_dec_f = lambda: int(jnp.sum(
+        jbwt.decode_batch_fast(L, orgs, jl128, walkers_log2=0)[:4, :4]
+        .astype(jnp.int32)))
+    bwt_dec_f()
     # min-of-5: the scalar fetch rides the tunnel RTT, which jittered
     # this device rate 25% run-to-run at mean-of-3
-    bwt_dec = B * N / timed_host(lambda: int(bwt_dec_f(L, orgs, jl128)),
-                                 iters=5)
+    bwt_dec = B * N / timed_host(bwt_dec_f, iters=5)
     detail["bwt"] = {"forward_MBps": round(bwt_enc / 1e6, 1),
                      "inverse_device_MBps": round(bwt_dec / 1e6, 1)}
     if native.available():
@@ -527,11 +568,11 @@ def main() -> None:
     bits = jbin.bytes_to_bits(jnp.transpose(x[: N // 4, :]))
     xb = jnp.transpose(bits)
     jlb = jnp.full(BW, 8 * (N // 4), jnp.int32)
-    bin_sync = jax.jit(lambda a, b_: jnp.sum(
-        kbin.bin_encode_lanes(a, b_)[1][:8, :8].astype(jnp.int32)))
-    int(bin_sync(xb, jlb))
+    bin_sync = lambda: int(jnp.sum(
+        kbin.bin_encode_lanes(xb, jlb)[1][:8, :8].astype(jnp.int32)))
+    bin_sync()
     detail["bin_kernel_MBps"] = round(
-        BW * (N // 4) / timed(lambda: int(bin_sync(xb, jlb))) / 1e6, 1)
+        BW * (N // 4) / timed(bin_sync) / 1e6, 1)
 
     detail["progress"] = "done"
     _RECORD["value"] = round(ari_combined / 1e9, 4)

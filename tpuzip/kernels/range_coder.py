@@ -332,6 +332,10 @@ def ari_encode_lanes_packed(x: jnp.ndarray, lens: jnp.ndarray,
     return streams, slens
 
 
+COMPACTION = "sort"   # chip A/B (bench/ari_compaction_ab_r5.py): sort 126.0
+#                      vs scatter 30.2 MB/s, byte-identical — sort is production
+
+
 def _encode_lanes_packed_core(x, lens, increment, threshold,
                               interpret=False):
     n, lanes = x.shape
@@ -339,16 +343,32 @@ def _encode_lanes_packed_core(x, lens, increment, threshold,
                                              interpret)
     cap = 2 * n + 64
     cnt = counts.astype(jnp.int32)                      # (N, L)
-    offs = jnp.cumsum(cnt, axis=0) - cnt                # exclusive, per lane
     totals = cnt.sum(axis=0)                            # (L,)
     b4 = bytes_.reshape(n, 4, lanes)
     j = jnp.arange(4, dtype=jnp.int32)[None, :, None]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 4, lanes), 2)
-    pos = offs[:, None, :] + j
     valid = j < cnt[:, None, :]
-    flat = jnp.where(valid, pos * lanes + lane, cap * lanes)
-    out = jnp.zeros(cap * lanes, jnp.uint8).at[flat.reshape(-1)].set(
-        b4.reshape(-1), mode="drop")
+    if COMPACTION == "sort":
+        # stable 1-bit-key sort: valid bytes compact to the FRONT of each
+        # lane column in step/slot order == stream order (the repo's
+        # sort-beats-scatter rule, cf. the DC encode rework); the tail is
+        # re-zeroed so the padding matches the C++/zero-filled layout
+        inval = (~valid).reshape(n * 4, lanes).astype(jnp.uint8)
+        _, comp_col = jax.lax.sort(
+            (inval, b4.reshape(n * 4, lanes)), dimension=0,
+            is_stable=True, num_keys=1)
+        take = min(n * 4, cap)
+        out2d = jnp.zeros((cap, lanes), jnp.uint8).at[:take].set(
+            comp_col[:take])
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 0)
+        out2d = jnp.where(p_iota < totals[None, :], out2d, 0)
+        out = out2d.reshape(-1)
+    else:
+        offs = jnp.cumsum(cnt, axis=0) - cnt            # exclusive
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 4, lanes), 2)
+        pos = offs[:, None, :] + j
+        flat = jnp.where(valid, pos * lanes + lane, cap * lanes)
+        out = jnp.zeros(cap * lanes, jnp.uint8).at[flat.reshape(-1)].set(
+            b4.reshape(-1), mode="drop")
     # finish(): 4 tail bytes of final low per lane
     low = state[0]
     tail = jnp.stack([(low >> (24 - 8 * k)).astype(jnp.uint8)
