@@ -52,13 +52,19 @@ INIT_DEADLINE_S = float(os.environ.get("TPZ_BENCH_INIT_DEADLINE", "120"))
 # records carry it so a wedged-tunnel round still shows the judge where the
 # chip numbers stand (value stays 0.0 — only a live measurement sets it)
 _LAST_CHIP = {
-    "when": "2026-08-20 (round 4/5 captures, bench/RESULTS.md)",
-    "value_GBps_chip": 0.3695,
-    "ari": {"encode_MBps": 450.8, "decode_MBps": 339.3},
-    "mtf_kernel_MBps": 988.3,
-    "lz4": {"encode_MBps": 921.5, "decode_host_output_MBps": 3492.3,
-            "decode_serving_MBps": 303.9},
-    "bwt": {"forward_MBps": 111.3, "inverse_MBps": 373.0},
+    "when": "2026-08-20 (round-5 captures, bench/RESULTS.md)",
+    "value_GBps_chip": 0.3933,
+    "ari": {"encode_kernel_MBps": 476.4,
+            "encode_device_compacted_MBps": 124.0,
+            "decode_pipelined_MBps": 334.9,
+            "decode_kernel_MBps": 341.0},
+    "mtf_kernel_MBps": 1048.8,
+    "lz4": {"encode_MBps": 1048.3, "decode_host_output_MBps": 3251.2,
+            "decode_serving_plan_MBps": 335.6},
+    "bwt": {"forward_MBps": 106.8, "inverse_MBps": 379.5},
+    "gib_rows": {"encode_kernel_sustained_MBps": 477.1,
+                 "decode_kernel_sustained_MBps": 338.4,
+                 "total_MiB_each": 512},
 }
 
 
